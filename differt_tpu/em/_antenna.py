@@ -1,0 +1,436 @@
+"""Antenna models: fields, Poynting vectors, directivity, radiation patterns.
+
+Reference parity: differt/src/differt/em/_antenna.py, with the pieces the
+reference leaves unimplemented (``ShortDipole.fields``, ``HWDipolePattern``,
+``ShortDipolePattern`` — _antenna.py:494-500, 662-690) completed here.
+"""
+
+from abc import abstractmethod
+from dataclasses import KW_ONLY
+from typing import Any
+
+from differt_tpu import treekit as eqx
+import jax
+import jax.numpy as jnp
+from jaxtyping import Array, ArrayLike, Float, Inexact
+
+from ..geometry._vectors import (
+    cartesian_to_spherical,
+    normalize,
+    spherical_to_cartesian,
+)
+from ..utils import safe_divide
+from ._constants import c, epsilon_0, mu_0
+
+
+@jax.jit
+def poynting_vector(
+    e: Inexact[ArrayLike, "*#batch 3"],
+    b: Inexact[ArrayLike, "*#batch 3"],
+) -> Inexact[Array, "*batch 3"]:
+    r"""Poynting vector in vacuum, ``S = E x B / mu_0``."""
+    return jnp.cross(jnp.asarray(e), jnp.asarray(b)) / mu_0
+
+
+class BaseAntenna(eqx.Module):
+    """Base class for antennas and radiation patterns."""
+
+    frequency: Float[Array, ""]
+    """Operating frequency (Hz)."""
+    _: KW_ONLY
+    center: Float[Array, "3"] = eqx.field(
+        default_factory=lambda: jnp.array([0.0, 0.0, 0.0])
+    )
+    """Antenna center position."""
+
+    @property
+    def period(self) -> Float[Array, ""]:
+        """``T = 1/f``."""
+        return 1 / self.frequency
+
+    @property
+    def angular_frequency(self) -> Float[Array, ""]:
+        r"""``omega = 2 pi f``."""
+        return 2 * jnp.pi * self.frequency
+
+    @property
+    def wavelength(self) -> Float[Array, ""]:
+        r"""``lambda = c/f``."""
+        return c * self.period
+
+    @property
+    def wavenumber(self) -> Float[Array, ""]:
+        r"""``k = omega/c``."""
+        return self.angular_frequency / c
+
+    @property
+    def aperture(self) -> Float[Array, ""]:
+        r"""Effective aperture of an isotropic antenna, ``lambda^2/(4 pi)``."""
+        return self.wavelength**2 / (4 * jnp.pi)
+
+
+class Antenna(BaseAntenna):
+    """An antenna that radiates E/B fields; must be subclassed."""
+
+    @property
+    @abstractmethod
+    def reference_power(self) -> Float[Array, ""]:
+        """Reference radiated power (W) at one meter."""
+
+    @abstractmethod
+    def fields(
+        self,
+        r: Float[ArrayLike, "*#batch 3"],
+        t: Float[ArrayLike, " *#batch"] | None = None,
+    ) -> tuple[Inexact[Array, "*batch 3"], Inexact[Array, "*batch 3"]]:
+        """E and B fields at position ``r`` (relative to center) and time ``t``."""
+
+    @eqx.filter_jit
+    def poynting_vector(
+        self,
+        r: Float[ArrayLike, "*#batch 3"],
+        t: Float[ArrayLike, " *#batch"] | None = None,
+    ) -> Inexact[Array, "*batch 3"]:
+        """Poynting vector at position and optional time."""
+        e, b = self.fields(r, t)
+        return poynting_vector(e, b)
+
+    def directivity(
+        self, num_points: int = int(1e2)
+    ) -> tuple[Array, Array, Array]:
+        """Numerically estimated directivity over an angular grid."""
+        u, du = jnp.linspace(0, 2 * jnp.pi, num_points * 2, retstep=True)
+        v, dv = jnp.linspace(0, jnp.pi, num_points, retstep=True)
+        x = jnp.outer(jnp.cos(u), jnp.sin(v))
+        y = jnp.outer(jnp.sin(u), jnp.sin(v))
+        z = jnp.outer(jnp.ones_like(u), jnp.cos(v))
+        r = self.center + jnp.stack((x, y, z), axis=-1)
+        p = jnp.linalg.norm(self.poynting_vector(r), axis=-1)
+        ds = du * dv
+        power_per_solid_angle = p / ds
+        p_tot = jnp.sum(p * jnp.sin(v)) / (4 * jnp.pi)
+        return u, v, power_per_solid_angle / p_tot
+
+    def directive_gain(self, num_points: int = int(1e2)) -> Float[Array, ""]:
+        """Numerically estimated directive gain."""
+        return self.directivity(num_points=num_points)[-1].max()
+
+    def plot_radiation_pattern(
+        self,
+        num_points: int = int(1e2),
+        distance: Float[ArrayLike, ""] = 1.0,
+        num_wavelengths: Float[ArrayLike, ""] | None = None,
+        **kwargs: Any,
+    ):
+        """Plot normalized radiated power on a sphere around the antenna."""
+        from ..plotting import draw_surface
+
+        if num_wavelengths is not None:
+            distance = jnp.asarray(num_wavelengths) * self.wavelength
+        else:
+            distance = jnp.asarray(distance)
+
+        u = jnp.linspace(0, 2 * jnp.pi, num_points * 2)
+        v = jnp.linspace(0, jnp.pi, num_points)
+        x = jnp.outer(jnp.cos(u), jnp.sin(v))
+        y = jnp.outer(jnp.sin(u), jnp.sin(v))
+        z = jnp.outer(jnp.ones_like(u), jnp.cos(v))
+        r = self.center + distance * jnp.stack((x, y, z), axis=-1)
+        p = jnp.linalg.norm(self.poynting_vector(r), axis=-1, keepdims=True)
+        gain = p / p.max()
+        r = self.center + (r - self.center) * gain
+        gain = jnp.squeeze(gain, axis=-1)
+        return draw_surface(
+            x=r[..., 0], y=r[..., 1], z=r[..., 2], colors=gain, **kwargs
+        )
+
+
+class Dipole(Antenna):
+    r"""A Hertzian dipole with exact near- and far-field expressions.
+
+    Physics per the standard dipole radiation formulas (constant current):
+    ``E`` combines the radiating ``k^2 (r x p) x r / r`` term with the
+    near-field ``(3 r (r.p) - p)`` terms in ``1/r^2`` and ``1/r^3``;
+    ``B = k^2 (r x p)(1 - 1/(jkr)) / (c r)``; both share the phase factor
+    ``e^{j(kr - wt)}``. Reference parity: _antenna.py:266-479.
+    """
+
+    length: Float[Array, ""]
+    """Dipole length (m)."""
+    moment: Float[Array, "3"]
+    """Dipole moment (C m)."""
+
+    def __init__(
+        self,
+        frequency: Float[ArrayLike, ""],
+        num_wavelengths: Float[ArrayLike, ""] = 0.5,
+        *,
+        length: Float[ArrayLike, ""] | None = None,
+        moment: Float[ArrayLike, "3"] | None = jnp.array([0.0, 0.0, 1.0]),
+        current: Float[ArrayLike, ""] | None = 1.0,
+        charge: Float[ArrayLike, ""] | None = None,
+        center: Float[ArrayLike, "3"] = jnp.array([0.0, 0.0, 0.0]),
+        look_at: Float[ArrayLike, "3"] | None = None,
+    ) -> None:
+        super().__init__(jnp.asarray(frequency), center=jnp.asarray(center))
+        if length is not None:
+            self.length = jnp.asarray(length)
+        else:
+            self.length = jnp.asarray(num_wavelengths) * self.wavelength
+
+        moment = jnp.array(moment)
+        if charge is not None:
+            moment *= jnp.asarray(charge) * self.length / jnp.linalg.norm(moment)
+        elif current is not None:
+            moment *= (
+                jnp.asarray(current)
+                * self.length
+                / (jnp.linalg.norm(moment) * self.angular_frequency)
+            )
+        if look_at is not None:
+            moment = spherical_to_cartesian(
+                cartesian_to_spherical(moment)
+                + (
+                    cartesian_to_spherical(
+                        normalize(jnp.asarray(look_at) - self.center)[0]
+                    )
+                    - cartesian_to_spherical(jnp.array([1.0, 0.0, 0.0]))
+                )
+            )
+        self.moment = moment
+
+    @property
+    def reference_power(self) -> Float[Array, ""]:
+        """``mu_0 w^4 p^2 / (4 pi c)`` — factored to avoid float32 overflow."""
+        p_0 = jnp.linalg.norm(self.moment)
+        r = mu_0 * self.angular_frequency
+        t = self.angular_frequency * p_0
+        r *= t
+        r *= t
+        return r * self.angular_frequency / (4 * jnp.pi * c)
+
+    @eqx.filter_jit
+    def fields(
+        self,
+        r: Float[ArrayLike, "*#batch 3"],
+        t: Float[ArrayLike, " *#batch"] | None = None,
+    ) -> tuple[Inexact[Array, "*batch 3"], Inexact[Array, "*batch 3"]]:
+        r = jnp.asarray(r)
+        r_hat, dist = normalize(r - self.center, keepdims=True)
+        p = self.moment
+        w = self.angular_frequency
+        k = self.wavenumber
+        k_sq = k * k
+        inv_r = 1 / dist
+        j_k_r = 1j * k * dist
+
+        factor = 1 / (4 * jnp.pi * epsilon_0)
+        r_x_p = jnp.cross(r_hat, p)
+        r_dot_p = jnp.sum(r_hat * p, axis=-1, keepdims=True)
+
+        e = (
+            factor
+            * (
+                k_sq * jnp.cross(r_x_p, r_hat)
+                + inv_r * inv_r * (inv_r - 1j * k) * (3 * r_hat * r_dot_p - p)
+            )
+            * inv_r
+        )
+        b = (factor * k_sq / c) * r_x_p * (1 - 1 / j_k_r) * inv_r
+
+        phase = (
+            jnp.exp(j_k_r - 1j * w * jnp.asarray(t)[..., None])
+            if t is not None
+            else jnp.exp(j_k_r)
+        )
+        return e * phase, b * phase
+
+    def directivity(
+        self, num_points: int = int(1e2)
+    ) -> tuple[Array, Array, Array]:
+        """Exact directivity ``1.5 sin^2(theta)`` of the ideal dipole."""
+        u = jnp.linspace(0, 2 * jnp.pi, num_points * 2)
+        v = jnp.linspace(0, jnp.pi, num_points)
+        x = jnp.outer(jnp.cos(u), jnp.sin(v))
+        y = jnp.outer(jnp.sin(u), jnp.sin(v))
+        z = jnp.outer(jnp.ones_like(u), jnp.cos(v))
+        r = jnp.stack((x, y, z), axis=-1)
+        p = self.moment / jnp.linalg.norm(self.moment)
+        sin_theta_sq = jnp.sum(jnp.cross(r, p) ** 2, axis=-1)
+        return u, v, 1.5 * sin_theta_sq
+
+    def directive_gain(self, num_points: int = int(1e2)) -> Float[Array, ""]:
+        """Exact gain of the ideal dipole: 1.5."""
+        del num_points
+        return jnp.array(1.5)
+
+
+class ShortDipole(Dipole):
+    """Short dipole with triangular current distribution (far field only).
+
+    The reference leaves this unimplemented (_antenna.py:494-500). The far
+    field of a short dipole equals the Hertzian dipole's with the effective
+    moment halved (average of a triangular current profile); near-field
+    terms are dropped.
+    """
+
+    @eqx.filter_jit
+    def fields(
+        self,
+        r: Float[ArrayLike, "*#batch 3"],
+        t: Float[ArrayLike, " *#batch"] | None = None,
+    ) -> tuple[Inexact[Array, "*batch 3"], Inexact[Array, "*batch 3"]]:
+        r = jnp.asarray(r)
+        r_hat, dist = normalize(r - self.center, keepdims=True)
+        # Effective moment: triangular current halves the average current.
+        p = 0.5 * self.moment
+        w = self.angular_frequency
+        k = self.wavenumber
+        k_sq = k * k
+        inv_r = 1 / dist
+        j_k_r = 1j * k * dist
+
+        factor = 1 / (4 * jnp.pi * epsilon_0)
+        r_x_p = jnp.cross(r_hat, p)
+
+        e = factor * k_sq * jnp.cross(r_x_p, r_hat) * inv_r
+        b = (factor * k_sq / c) * r_x_p * inv_r
+
+        phase = (
+            jnp.exp(j_k_r - 1j * w * jnp.asarray(t)[..., None])
+            if t is not None
+            else jnp.exp(j_k_r)
+        )
+        return e * phase, b * phase
+
+    def directivity(
+        self, num_points: int = int(1e2)
+    ) -> tuple[Array, Array, Array]:
+        """Numeric directivity (far-field short dipole)."""
+        return Antenna.directivity(self, num_points=num_points)
+
+    def directive_gain(self, num_points: int = int(1e2)) -> Float[Array, ""]:
+        """Numeric directive gain."""
+        return Antenna.directive_gain(self, num_points=num_points)
+
+
+class RadiationPattern(BaseAntenna):
+    """A radiation pattern given by polarization vectors; must be subclassed."""
+
+    @abstractmethod
+    def polarization_vectors(
+        self,
+        r: Float[ArrayLike, "*#batch 3"],
+    ) -> tuple[Float[Array, "*batch 3"], Float[Array, "*batch 3"]]:
+        """s and p polarization vectors (scaled by the amplitude pattern)."""
+
+    def directivity(
+        self, num_points: int = int(1e2)
+    ) -> tuple[Array, Array, Array]:
+        """Directivity from the squared polarization amplitudes."""
+        u = jnp.linspace(0, 2 * jnp.pi, num_points * 2)
+        v = jnp.linspace(0, jnp.pi, num_points)
+        x = jnp.outer(jnp.cos(u), jnp.sin(v))
+        y = jnp.outer(jnp.sin(u), jnp.sin(v))
+        z = jnp.outer(jnp.ones_like(u), jnp.cos(v))
+        r = self.center + jnp.stack((x, y, z), axis=-1)
+        s, p = self.polarization_vectors(r)
+        g = jnp.sum(s * s, axis=-1) + jnp.sum(p * p, axis=-1)
+        return u, v, g
+
+    def directive_gain(self, num_points: int = int(1e2)) -> Float[Array, ""]:
+        """Maximum of :meth:`directivity`."""
+        return self.directivity(num_points=num_points)[-1].max()
+
+    def plot_radiation_pattern(
+        self,
+        num_points: int = int(1e2),
+        distance: Float[ArrayLike, ""] = 1.0,
+        num_wavelengths: Float[ArrayLike, ""] | None = None,
+        **kwargs: Any,
+    ):
+        """Plot the normalized pattern on a sphere."""
+        from ..plotting import draw_surface
+
+        if num_wavelengths is not None:
+            distance = jnp.asarray(num_wavelengths) * self.wavelength
+        else:
+            distance = jnp.asarray(distance)
+
+        u = jnp.linspace(0, 2 * jnp.pi, num_points * 2)
+        v = jnp.linspace(0, jnp.pi, num_points)
+        x = jnp.outer(jnp.cos(u), jnp.sin(v))
+        y = jnp.outer(jnp.sin(u), jnp.sin(v))
+        z = jnp.outer(jnp.ones_like(u), jnp.cos(v))
+        r = self.center + distance * jnp.stack((x, y, z), axis=-1)
+        s, p = self.polarization_vectors(r)
+        power = jnp.sum(s * s, axis=-1, keepdims=True) + jnp.sum(
+            p * p, axis=-1, keepdims=True
+        )
+        gain = power / power.max()
+        r = r * gain
+        gain = jnp.squeeze(gain, axis=-1)
+        return draw_surface(
+            x=r[..., 0], y=r[..., 1], z=r[..., 2], colors=gain, **kwargs
+        )
+
+
+def _dipole_frame(
+    r: Array, center: Array, direction: Array
+) -> tuple[Array, Array, Array]:
+    """Unit radial direction plus local (theta_hat-like, phi_hat-like) frame."""
+    r_hat, _ = normalize(jnp.asarray(r) - center, keepdims=True)
+    cos_theta = jnp.sum(r_hat * direction, axis=-1, keepdims=True)
+    # phi_hat ~ direction x r_hat (azimuthal), theta_hat completes the triad.
+    phi_vec, phi_norm = normalize(jnp.cross(direction, r_hat), keepdims=True)
+    theta_vec = normalize(jnp.cross(phi_vec, r_hat))[0]
+    return r_hat, theta_vec, (cos_theta, phi_norm)
+
+
+class HWDipolePattern(RadiationPattern):
+    """Half-wave dipole radiation pattern (implemented; reference stub).
+
+    Amplitude ``cos(pi/2 cos(theta)) / sin(theta)`` along the local theta
+    direction, normalized so the peak directive gain is 4/Cin(2 pi) ~= 1.641.
+    """
+
+    direction: Float[Array, "3"]
+    """Dipole axis (unit vector)."""
+
+    def polarization_vectors(
+        self,
+        r: Float[ArrayLike, "*#batch 3"],
+    ) -> tuple[Float[Array, "*batch 3"], Float[Array, "*batch 3"]]:
+        r = jnp.asarray(r)
+        _, theta_vec, (cos_theta, sin_norm) = _dipole_frame(
+            r, self.center, self.direction
+        )
+        d = 1.640922376984585  # 4 / Cin(2*pi)
+        amplitude = jnp.sqrt(d) * safe_divide(
+            jnp.cos(0.5 * jnp.pi * cos_theta), sin_norm
+        )
+        p = amplitude * theta_vec
+        return jnp.zeros_like(p), p
+
+
+class ShortDipolePattern(RadiationPattern):
+    """Short dipole radiation pattern (implemented; reference stub).
+
+    Amplitude ``sin(theta)`` along the local theta direction, normalized to
+    the exact directive gain of 1.5.
+    """
+
+    direction: Float[Array, "3"]
+    """Dipole axis (unit vector)."""
+
+    def polarization_vectors(
+        self,
+        r: Float[ArrayLike, "*#batch 3"],
+    ) -> tuple[Float[Array, "*batch 3"], Float[Array, "*batch 3"]]:
+        r = jnp.asarray(r)
+        _, theta_vec, (_cos_theta, sin_norm) = _dipole_frame(
+            r, self.center, self.direction
+        )
+        amplitude = jnp.sqrt(1.5) * sin_norm
+        p = amplitude * theta_vec
+        return jnp.zeros_like(p), p

@@ -1,0 +1,110 @@
+"""Fresnel reflection and refraction coefficients.
+
+Reference parity: differt/src/differt/em/_fresnel.py. The complex-safe form
+``n_r cos(theta_t) = sqrt(n_r^2 + cos^2(theta_i) - 1)`` handles total
+internal reflection and lossy (complex-permittivity) media uniformly.
+"""
+
+import jax
+import jax.numpy as jnp
+from jaxtyping import Array, ArrayLike, Complex, Float, Inexact
+
+from ..utils import safe_divide
+
+
+@jax.jit
+def refractive_index(
+    epsilon_r: Inexact[ArrayLike, " *#batch"],
+    mu_r: Inexact[ArrayLike, " *#batch"] | None = None,
+) -> Inexact[Array, " *batch"]:
+    r"""Refractive index ``n = sqrt(epsilon_r * mu_r)`` (mu_r defaults to 1)."""
+    epsilon_r = jnp.asarray(epsilon_r)
+    return jnp.sqrt(epsilon_r if mu_r is None else epsilon_r * jnp.asarray(mu_r))
+
+
+@jax.jit
+def fresnel_coefficients(
+    n_r: Inexact[ArrayLike, " *#batch"],
+    cos_theta_i: Float[ArrayLike, " *#batch"],
+) -> tuple[
+    tuple[Complex[Array, " *batch"], Complex[Array, " *batch"]],
+    tuple[Complex[Array, " *batch"], Complex[Array, " *batch"]],
+]:
+    r"""Fresnel ``((r_s, r_p), (t_s, t_p))`` at an interface.
+
+    ``n_r`` is the relative refractive index (second medium over first);
+    ``cos_theta_i`` the cosine of the incidence angle (absolute value taken).
+    """
+    cos_theta_i = jnp.abs(jnp.asarray(cos_theta_i))
+    n_r = jnp.asarray(n_r)
+    n_r_sq = n_r * n_r
+    dtype = jnp.result_type(n_r, cos_theta_i)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    # Complex-safe Snell term: handles TIR and lossy media.
+    n_r_cos_theta_t = jnp.sqrt(
+        (n_r_sq + cos_theta_i * cos_theta_i - 1.0).astype(cdtype)
+    )
+    n_r_sq_cos_theta_i = n_r_sq * cos_theta_i
+    two_cos_theta_i = 2.0 * cos_theta_i
+
+    r_s = safe_divide(
+        cos_theta_i - n_r_cos_theta_t, cos_theta_i + n_r_cos_theta_t
+    )
+    t_s = safe_divide(two_cos_theta_i, cos_theta_i + n_r_cos_theta_t)
+    r_p = safe_divide(
+        n_r_sq_cos_theta_i - n_r_cos_theta_t, n_r_sq_cos_theta_i + n_r_cos_theta_t
+    )
+    t_p = safe_divide(
+        n_r * two_cos_theta_i, n_r_sq_cos_theta_i + n_r_cos_theta_t
+    )
+    return (r_s, r_p), (t_s, t_p)
+
+
+@jax.jit
+def reflection_coefficients(
+    n_r: Inexact[ArrayLike, " *#batch"],
+    cos_theta_i: Float[ArrayLike, " *#batch"],
+) -> tuple[Complex[Array, " *batch"], Complex[Array, " *batch"]]:
+    """Fresnel ``(r_s, r_p)`` reflection coefficients."""
+    return fresnel_coefficients(n_r, cos_theta_i)[0]
+
+
+@jax.jit
+def refraction_coefficients(
+    n_r: Inexact[ArrayLike, " *#batch"],
+    cos_theta_i: Float[ArrayLike, " *#batch"],
+) -> tuple[Complex[Array, " *batch"], Complex[Array, " *batch"]]:
+    """Fresnel ``(t_s, t_p)`` refraction coefficients."""
+    return fresnel_coefficients(n_r, cos_theta_i)[1]
+
+
+@jax.jit
+def slab_reflection_coefficients(
+    n_r: Complex[ArrayLike, " *#batch"],
+    cos_theta_i: Float[ArrayLike, " *#batch"],
+    thickness: Float[ArrayLike, " *#batch"],
+    wavelength: Float[ArrayLike, " *#batch"],
+) -> tuple[Complex[Array, " *batch"], Complex[Array, " *batch"]]:
+    """Reflection off a finite-thickness slab (multi-bounce interference).
+
+    Negative ``thickness`` selects the semi-infinite (plain Fresnel) result.
+    Reference parity: plugins/deepmimo.py:366-405.
+    """
+    n_r = jnp.asarray(n_r)
+    cos_theta_i = jnp.asarray(cos_theta_i)
+    thickness = jnp.asarray(thickness)
+    r_s_inf, r_p_inf = reflection_coefficients(n_r, cos_theta_i)
+
+    sin_theta_sq = 1.0 - cos_theta_i * cos_theta_i
+    a = jnp.sqrt(n_r * n_r - sin_theta_sq)
+    q = (2.0 * jnp.pi * thickness / wavelength) * a
+    phase = jnp.exp(-2j * q)
+
+    r_s_slab = safe_divide(r_s_inf * (1.0 - phase), 1.0 - r_s_inf * r_s_inf * phase)
+    r_p_slab = safe_divide(r_p_inf * (1.0 - phase), 1.0 - r_p_inf * r_p_inf * phase)
+
+    use_slab = thickness >= 0.0
+    return (
+        jnp.where(use_slab, r_s_slab, r_s_inf),
+        jnp.where(use_slab, r_p_slab, r_p_inf),
+    )

@@ -1,0 +1,205 @@
+"""Uniform Theory of Diffraction (UTD) coefficients.
+
+Reference parity: differt/src/differt/em/_utd.py, which implements the
+distance parameter ``L_i`` and transition function ``F`` but leaves
+``diffraction_coefficients`` as ``NotImplementedError`` (em/_utd.py:225-302).
+Here the McNamara D1..D4 wedge coefficients are fully implemented, following
+McNamara, "Introduction to the Uniform Geometrical Theory of Diffraction",
+ch. 6 (eqs. 6.21-6.29), with an optional Luebbers-style heuristic extension
+to finitely-conducting wedges via per-face reflection coefficients.
+"""
+
+from functools import partial
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.special as jsp
+from jaxtyping import Array, ArrayLike, Complex, Float
+
+
+@jax.jit
+def _cot(x: Float[Array, " *batch"]) -> Float[Array, " *batch"]:
+    return 1.0 / jnp.tan(x)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def _n_plus_minus(
+    beta: Float[ArrayLike, " *#batch"],
+    n: Float[ArrayLike, " *#batch"],
+    mode: Literal["+", "-"],
+) -> Float[Array, " *batch"]:
+    """Integer ``N+-`` closest to satisfying ``2 pi n N - beta = +-pi``."""
+    sign = 1.0 if mode == "+" else -1.0
+    return jnp.round((jnp.asarray(beta) + sign * jnp.pi) / (2.0 * jnp.asarray(n) * jnp.pi))
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def _a_plus_minus(
+    beta: Float[ArrayLike, " *#batch"],
+    n: Float[ArrayLike, " *#batch"],
+    mode: Literal["+", "-"],
+) -> Float[Array, " *batch"]:
+    """Angular distance measure ``a+-(beta) = 2 cos^2((2 pi n N+- - beta)/2)``."""
+    big_n = _n_plus_minus(beta, n, mode)
+    co = jnp.cos(0.5 * (2.0 * jnp.asarray(n) * jnp.pi * big_n - jnp.asarray(beta)))
+    return 2.0 * co * co
+
+
+def L_i(  # noqa: N802
+    s_d: Float[ArrayLike, " *#batch"],
+    sin_2_beta_0: Float[ArrayLike, " *#batch"],
+    rho_1_i: Float[ArrayLike, " *#batch"] | None = None,
+    rho_2_i: Float[ArrayLike, " *#batch"] | None = None,
+    rho_e_i: Float[ArrayLike, " *#batch"] | None = None,
+    s_i: Float[ArrayLike, " *#batch"] | None = None,
+) -> Float[Array, " *batch"]:
+    r"""Distance parameter of the incident shadow boundary.
+
+    Plane-wave incidence by default (``L = s^d sin^2(beta_0)``), spherical
+    when ``s_i`` is passed, general astigmatic when all three ``rho`` radii
+    are passed. Reference parity: em/_utd.py:42-160.
+    """
+    radii = (rho_1_i, rho_2_i, rho_e_i)
+    all_none = all(x is None for x in radii)
+    all_set = all(x is not None for x in radii)
+    if s_i is not None and not all_none:
+        msg = (
+            "If 's_i' is provided, then 'rho_1_i', 'rho_2_i', and 'rho_e_i' "
+            "must be left to 'None'."
+        )
+        raise ValueError(msg)
+    if not all_none and not all_set:
+        msg = (
+            "All three of 'rho_1_i', 'rho_2_i', and 'rho_e_i' must be "
+            "provided, or left to 'None'."
+        )
+        raise ValueError(msg)
+
+    s_d = jnp.asarray(s_d)
+    sin_2_beta_0 = jnp.asarray(sin_2_beta_0)
+    if s_i is not None:
+        s_i = jnp.asarray(s_i)
+        return (s_d * s_i) * sin_2_beta_0 / (s_d + s_i)
+    if all_none:
+        return s_d * sin_2_beta_0
+    rho_1_i = jnp.asarray(rho_1_i)
+    rho_2_i = jnp.asarray(rho_2_i)
+    rho_e_i = jnp.asarray(rho_e_i)
+    return (
+        (s_d * (rho_e_i + s_d) * rho_1_i * rho_2_i)
+        / (rho_e_i * (rho_1_i + s_d) * (rho_2_i + s_d))
+    ) * sin_2_beta_0
+
+
+@jax.jit
+def F(z: Float[ArrayLike, " *batch"]) -> Complex[Array, " *batch"]:  # noqa: N802
+    r"""UTD transition function, via Fresnel integrals.
+
+    ``F(x) = 2j sqrt(x) e^{jx} int_sqrt(x)^inf e^{-ju^2} du``
+    (McNamara eq. 4.72). Reference parity: em/_utd.py:163-222.
+    """
+    z = jnp.asarray(z)
+    factor = jnp.sqrt(jnp.pi / 2)
+    sqrt_z = jnp.sqrt(z)
+    s, c = jsp.fresnel(sqrt_z / factor)
+    return 2j * sqrt_z * jnp.exp(1j * z) * (factor * ((1 - 1j) / 2 - c + 1j * s))
+
+
+@jax.jit
+def diffraction_coefficients(
+    k: Float[ArrayLike, " *#batch"],
+    n: Float[ArrayLike, " *#batch"],
+    phi_i: Float[ArrayLike, " *#batch"],
+    phi_d: Float[ArrayLike, " *#batch"],
+    sin_beta_0: Float[ArrayLike, " *#batch"],
+    length_i: Float[ArrayLike, " *#batch"],
+    length_r_o: Float[ArrayLike, " *#batch"] | None = None,
+    length_r_n: Float[ArrayLike, " *#batch"] | None = None,
+    r_o: Complex[ArrayLike, " *#batch"] | tuple | None = None,
+    r_n: Complex[ArrayLike, " *#batch"] | tuple | None = None,
+) -> tuple[Complex[Array, " *batch"], Complex[Array, " *batch"]]:
+    r"""UTD wedge diffraction coefficients ``(D_s, D_h)``.
+
+    Implements the four-cotangent McNamara form (eqs. 6.21-6.29):
+
+    .. math::
+        D_{1,2} = -\frac{e^{-j\pi/4}}{2n\sqrt{2\pi k}\sin\beta_0}
+                  \cot\Big(\frac{\pi \pm (\phi - \phi')}{2n}\Big)
+                  F\big(k L^i a^\pm(\phi - \phi')\big)
+
+    and similarly ``D_{3,4}`` with :math:`\phi + \phi'` and the reflection
+    distance parameters. For a perfectly conducting wedge,
+    ``D_s = D_1 + D_2 - (D_3 + D_4)`` and ``D_h = D_1 + D_2 + (D_3 + D_4)``.
+    Passing per-face reflection coefficients ``r_o`` / ``r_n`` (scalars or
+    arrays) applies the Luebbers heuristic for lossy wedges:
+    ``D = D_1 + D_2 + R_n D_3 + R_o D_4``.
+
+    Args:
+        k: Wavenumber (rad/m).
+        n: Wedge parameter (exterior angle = ``n * pi``).
+        phi_i: Incidence azimuth ``phi'`` measured from the o-face,
+            in ``[0, n*pi]``.
+        phi_d: Diffraction azimuth ``phi`` measured from the o-face.
+        sin_beta_0: Sine of the skew angle between the incident ray and the
+            edge (Keller cone half-angle).
+        length_i: Distance parameter for the incident boundary
+            (see :func:`L_i`).
+        length_r_o: Distance parameter for the o-face reflection boundary
+            (defaults to ``length_i``).
+        length_r_n: Distance parameter for the n-face reflection boundary
+            (defaults to ``length_i``).
+        r_o: Reflection coefficient of the o-face (defaults to PEC: -1 for
+            soft via the combination rule).
+        r_n: Reflection coefficient of the n-face.
+
+    Returns:
+        Soft and hard diffraction coefficients.
+    """
+    k = jnp.asarray(k)
+    n = jnp.asarray(n)
+    phi_i = jnp.asarray(phi_i)
+    phi_d = jnp.asarray(phi_d)
+    sin_beta_0 = jnp.asarray(sin_beta_0)
+    length_i = jnp.asarray(length_i)
+    length_r_o = length_i if length_r_o is None else jnp.asarray(length_r_o)
+    length_r_n = length_i if length_r_n is None else jnp.asarray(length_r_n)
+
+    phi_m = phi_d - phi_i  # phi minus
+    phi_p = phi_d + phi_i  # phi plus
+
+    two_n = 2.0 * n
+
+    def cot_term(phi: Array, sign: float) -> Array:
+        # Regularized cotangent: exactly at a shadow/reflection boundary the
+        # cotangent diverges while F -> 0; the small-argument limit of
+        # cot(x) F(k L a) is finite (McNamara eq. 6.32). We clamp the
+        # cotangent argument away from 0 to keep float32 finite; accuracy at
+        # the exact boundary follows the usual epsilon-shift practice.
+        arg = (jnp.pi + sign * phi) / two_n
+        eps = 1e-6
+        arg = jnp.where(jnp.abs(jnp.sin(arg)) < eps, arg + eps, arg)
+        return _cot(arg)
+
+    d1 = cot_term(phi_m, +1.0) * F(k * length_i * _a_plus_minus(phi_m, n, "+"))
+    d2 = cot_term(phi_m, -1.0) * F(k * length_i * _a_plus_minus(phi_m, n, "-"))
+    d3 = cot_term(phi_p, +1.0) * F(k * length_r_n * _a_plus_minus(phi_p, n, "+"))
+    d4 = cot_term(phi_p, -1.0) * F(k * length_r_o * _a_plus_minus(phi_p, n, "-"))
+
+    factor = -jnp.exp(-1j * jnp.pi / 4) / (
+        two_n * jnp.sqrt(2.0 * jnp.pi * k) * sin_beta_0
+    )
+
+    d12 = d1 + d2
+    d34_soft = (
+        (-1.0 if r_n is None else jnp.asarray(r_n)) * d3
+        + (-1.0 if r_o is None else jnp.asarray(r_o)) * d4
+    )
+    d34_hard = (
+        (1.0 if r_n is None else jnp.asarray(r_n)) * d3
+        + (1.0 if r_o is None else jnp.asarray(r_o)) * d4
+    )
+
+    d_s = (d12 + d34_soft) * factor
+    d_h = (d12 + d34_hard) * factor
+    return d_s, d_h

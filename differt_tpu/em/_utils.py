@@ -1,0 +1,216 @@
+"""EM propagation utilities: delays, polarization frames, transition matrices.
+
+Reference parity: differt/src/differt/em/_utils.py — except that
+:func:`transition_matrix` is fully implemented here (the reference raises
+``NotImplementedError`` at _utils.py:305-341; the working logic lived only
+inside ``deepmimo.export`` at plugins/deepmimo.py:597-638 and is promoted to
+a first-class, jit- and grad-friendly API).
+"""
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jaxtyping import Array, ArrayLike, Complex, Float, Int
+
+from ..geometry._vectors import normalize, path_length, perpendicular_vector
+from ._constants import c
+from ._fresnel import slab_reflection_coefficients
+
+
+@jax.jit
+def length_to_delay(
+    length: Float[ArrayLike, " *#batch"],
+    speed: Float[ArrayLike, " *#batch"] = c,
+) -> Float[Array, " *batch"]:
+    """Propagation delay (s) for the given length (m)."""
+    return jnp.asarray(length) / jnp.asarray(speed)
+
+
+@jax.jit
+def path_delay(
+    path: Float[ArrayLike, "*batch path_length 3"],
+    **kwargs: Any,
+) -> Float[Array, " *batch"]:
+    """Propagation delay (s) of a polyline path."""
+    return length_to_delay(path_length(path), **kwargs)
+
+
+@jax.jit
+def sp_directions(
+    k_i: Float[ArrayLike, "*#batch 3"],
+    k_r: Float[ArrayLike, "*#batch 3"],
+    normals: Float[ArrayLike, "*#batch 3"],
+) -> tuple[
+    tuple[Float[Array, "*batch 3"], Float[Array, "*batch 3"]],
+    tuple[Float[Array, "*batch 3"], Float[Array, "*batch 3"]],
+]:
+    """Local s/p polarization frames before and after a reflection.
+
+    Returns ``((e_i_s, e_i_p), (e_r_s, e_r_p))``; at normal incidence the s
+    direction degenerates and a deterministic perpendicular is used instead.
+    Reference parity: _utils.py:83-264.
+    """
+    k_i = jnp.asarray(k_i)
+    k_r = jnp.asarray(k_r)
+    normals = jnp.asarray(normals)
+
+    e_i_s, norm = normalize(jnp.cross(k_i, normals), keepdims=True)
+    e_i_s = jnp.where(norm == 0.0, perpendicular_vector(k_i), e_i_s)
+    e_i_p = normalize(jnp.cross(e_i_s, k_i))[0]
+    e_r_s = e_i_s
+    e_r_p = normalize(jnp.cross(e_r_s, k_r))[0]
+    return (e_i_s, e_i_p), (e_r_s, e_r_p)
+
+
+@jax.jit
+def sp_rotation_matrix(
+    e_a_s: Float[ArrayLike, "*#batch 3"],
+    e_a_p: Float[ArrayLike, "*#batch 3"],
+    e_b_s: Float[ArrayLike, "*#batch 3"],
+    e_b_p: Float[ArrayLike, "*#batch 3"],
+) -> Float[Array, "*batch 2 2"]:
+    """Rotation matrix mapping s/p components from basis a to basis b.
+
+    Reference parity: _utils.py:267-302.
+    """
+    e_a_s = jnp.asarray(e_a_s)
+    e_a_p = jnp.asarray(e_a_p)
+    e_b_s = jnp.asarray(e_b_s)
+    e_b_p = jnp.asarray(e_b_p)
+    r11 = jnp.sum(e_b_s * e_a_s, axis=-1)
+    r12 = jnp.sum(e_b_s * e_a_p, axis=-1)
+    r21 = jnp.sum(e_b_p * e_a_s, axis=-1)
+    r22 = jnp.sum(e_b_p * e_a_p, axis=-1)
+    r11, r12, r21, r22 = jnp.broadcast_arrays(r11, r12, r21, r22)
+    return jnp.stack(
+        (jnp.stack((r11, r12), axis=-1), jnp.stack((r21, r22), axis=-1)), axis=-2
+    )
+
+
+@jax.jit
+def spherical_basis(
+    k: Float[ArrayLike, "*batch 3"],
+) -> tuple[Float[Array, "*batch 3"], Float[Array, "*batch 3"]]:
+    """Spherical-frame unit vectors ``(theta_hat, phi_hat)`` for directions ``k``.
+
+    Reference parity: plugins/deepmimo.py:333-363.
+    """
+    k = jnp.asarray(k)
+    x, y = k[..., 0], k[..., 1]
+    z = jnp.clip(k[..., 2], -1.0, 1.0)
+    theta = jnp.arccos(z)
+    phi = jnp.arctan2(y, x)
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
+    theta_hat = jnp.stack((cos_t * cos_p, cos_t * sin_p, -sin_t), axis=-1)
+    phi_hat = jnp.stack((-sin_p, cos_p, jnp.zeros_like(phi)), axis=-1)
+    return theta_hat, phi_hat
+
+
+@jax.jit
+def transition_matrix(
+    vertices: Float[ArrayLike, "*batch path_length 3"],
+    object_normals: Float[ArrayLike, "*batch path_length-2 3"],
+    n_r: Complex[ArrayLike, "*batch path_length-2"],
+    thickness: Float[ArrayLike, "*batch path_length-2"],
+    wavelength: Float[ArrayLike, ""],
+    interaction_types: Int[ArrayLike, "*batch path_length-2"] | None = None,
+) -> Complex[Array, "*batch 2 2"]:
+    """Cumulative 2x2 Jones transition matrix of a multi-bounce path.
+
+    Expressed in the spherical ``(theta, phi)`` bases of the first and last
+    path segments: for each interaction, the field is rotated into the local
+    s/p frame, multiplied by ``diag(r_s, r_p)`` (slab-aware Fresnel), rotated
+    into the next segment's spherical frame, and the per-bounce matrices are
+    chained along the path.
+
+    This is the first-class version of the pipeline buried in
+    ``deepmimo.export`` (plugins/deepmimo.py:597-638); the reference's own
+    ``transition_matrix`` is unimplemented (em/_utils.py:305-341).
+
+    Args:
+        vertices: Full path vertices (TX, interactions..., RX).
+        object_normals: Unit normal at each interaction.
+        n_r: Complex refractive index at each interaction.
+        thickness: Slab thickness at each interaction (negative = infinite).
+        wavelength: The wavelength (m).
+        interaction_types: Currently only ``REFLECTION`` (0) contributes;
+            other types pass through identity (diffraction is handled by the
+            UTD module).
+
+    Returns:
+        The chained 2x2 complex matrix per path.
+    """
+    vertices = jnp.asarray(vertices)
+    object_normals = jnp.asarray(object_normals)
+    n_r = jnp.asarray(n_r)
+    thickness = jnp.asarray(thickness)
+
+    segments = jnp.diff(vertices, axis=-2)
+    k, _ = normalize(segments)
+
+    order = vertices.shape[-2] - 2
+    batch = jnp.broadcast_shapes(
+        vertices.shape[:-2], object_normals.shape[:-2], n_r.shape[:-1]
+    )
+    cdtype = (
+        jnp.complex128 if vertices.dtype == jnp.float64 else jnp.complex64
+    )
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=cdtype), (*batch, 2, 2))
+    if order == 0:
+        return eye
+
+    theta_hat, phi_hat = spherical_basis(k)
+    k_in = k[..., :-1, :]
+    k_out = k[..., 1:, :]
+
+    (e_i_s, e_i_p), (e_r_s, e_r_p) = sp_directions(k_in, k_out, object_normals)
+    cos_theta_i = jnp.sum(object_normals * -k_in, axis=-1)
+    r_s, r_p = slab_reflection_coefficients(
+        n_r, cos_theta_i, thickness, wavelength
+    )
+
+    in_rot = sp_rotation_matrix(
+        theta_hat[..., :-1, :], phi_hat[..., :-1, :], e_i_s, e_i_p
+    )
+    out_rot = sp_rotation_matrix(
+        e_r_s, e_r_p, theta_hat[..., 1:, :], phi_hat[..., 1:, :]
+    )
+
+    zero = jnp.zeros_like(r_s)
+    d = jnp.stack(
+        (jnp.stack((r_s, zero), axis=-1), jnp.stack((zero, r_p), axis=-1)),
+        axis=-2,
+    )
+    j_mat = jnp.matmul(out_rot.astype(cdtype), jnp.matmul(d, in_rot.astype(cdtype)))
+
+    if interaction_types is not None:
+        interaction_types = jnp.asarray(interaction_types)
+        is_reflection = (interaction_types == 0)[..., None, None]
+        j_mat = jnp.where(is_reflection, j_mat, jnp.eye(2, dtype=cdtype))
+
+    def chain(acc: Array, idx: int) -> Array:
+        return jnp.matmul(j_mat[..., idx, :, :], acc)
+
+    total = eye
+    for idx in range(order):
+        total = chain(total, idx)
+    return total
+
+
+@partial(jax.jit, static_argnames=("dB",))
+def fspl(
+    d: Float[ArrayLike, " *#batch"],
+    f: Float[ArrayLike, " *#batch"],
+    *,
+    dB: bool = False,  # noqa: N803
+) -> Float[Array, " *batch"]:
+    """Free-space path loss, linear or in dB."""
+    d = jnp.asarray(d)
+    f = jnp.asarray(f)
+    if dB:
+        return 20 * jnp.log10(d) + 20 * jnp.log10(f) - 147.55221677811662
+    x = 4 * jnp.pi * d * f / c
+    return x * x
