@@ -18,7 +18,13 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU via the config too so
+# tests never run through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_debug_nans", True)
+
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
 
 
 @pytest.fixture

@@ -1,0 +1,122 @@
+"""Tests for vector/coordinate utilities."""
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differt_tpu.geometry import (
+    assemble_path,
+    cartesian_to_spherical,
+    normalize,
+    orthogonal_basis,
+    path_length,
+    perpendicular_vector,
+    rotation_matrix_along_axis,
+    rotation_matrix_along_x_axis,
+    rotation_matrix_along_y_axis,
+    rotation_matrix_along_z_axis,
+    spherical_to_cartesian,
+)
+
+
+def test_normalize_basic() -> None:
+    v = jnp.array([1.0, 1.0, 1.0])
+    unit, length = normalize(v)
+    chex.assert_trees_all_close(length, jnp.sqrt(3.0))
+    chex.assert_trees_all_close(unit, v / jnp.sqrt(3.0))
+
+
+def test_normalize_zero_safe() -> None:
+    unit, length = normalize(jnp.zeros(3))
+    chex.assert_trees_all_close(unit, jnp.zeros(3))
+    chex.assert_trees_all_close(length, 0.0)
+    # Forward pass is zero-safe; gradients are finite for any nonzero input
+    # (exactly-zero vectors are non-differentiable, as in the reference).
+    with jax.disable_jit():
+        g = jax.grad(lambda v: normalize(v)[0].sum())(jnp.full(3, 1e-12))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_normalize_keepdims() -> None:
+    v = jnp.ones((4, 3))
+    _, length = normalize(v, keepdims=True)
+    assert length.shape == (4, 1)
+
+
+def test_perpendicular_and_basis(key) -> None:
+    u = normalize(jax.random.normal(key, (100, 3)))[0]
+    w = perpendicular_vector(u)
+    chex.assert_trees_all_close(
+        jnp.sum(u * w, axis=-1), jnp.zeros(100), atol=1e-6
+    )
+    chex.assert_trees_all_close(
+        jnp.linalg.norm(w, axis=-1), jnp.ones(100), atol=1e-6
+    )
+    v, w2 = orthogonal_basis(u)
+    for a, b in ((u, v), (u, w2), (v, w2)):
+        chex.assert_trees_all_close(
+            jnp.sum(a * b, axis=-1), jnp.zeros(100), atol=1e-6
+        )
+
+
+def test_path_length() -> None:
+    path = jnp.array([[1.0, 0.0, 0.0], [1.0, 1.0, 0.0]])
+    chex.assert_trees_all_close(path_length(path), 1.0)
+    chex.assert_trees_all_close(
+        path_length(jnp.vstack((path, path[::-1, :]))), 2.0
+    )
+
+
+@pytest.mark.parametrize(
+    ("fn", "axis"),
+    [
+        (rotation_matrix_along_x_axis, [1.0, 0.0, 0.0]),
+        (rotation_matrix_along_y_axis, [0.0, 1.0, 0.0]),
+        (rotation_matrix_along_z_axis, [0.0, 0.0, 1.0]),
+    ],
+)
+def test_rotation_matrices_match_axis_form(fn, axis) -> None:
+    angle = 0.7
+    chex.assert_trees_all_close(
+        fn(angle),
+        rotation_matrix_along_axis(angle, jnp.asarray(axis)),
+        atol=1e-6,
+    )
+
+
+def test_rotation_preserves_length(key) -> None:
+    angle = 1.2345
+    axis = normalize(jax.random.normal(key, (3,)))[0]
+    rot = rotation_matrix_along_axis(angle, axis)
+    v = jax.random.normal(jax.random.key(7), (10, 3))
+    chex.assert_trees_all_close(
+        jnp.linalg.norm((rot @ v.T).T, axis=-1),
+        jnp.linalg.norm(v, axis=-1),
+        rtol=1e-5,
+    )
+
+
+def test_spherical_roundtrip(key) -> None:
+    xyz = jax.random.normal(key, (50, 3))
+    back = spherical_to_cartesian(cartesian_to_spherical(xyz))
+    chex.assert_trees_all_close(back, xyz, atol=1e-5)
+
+
+def test_spherical_to_cartesian_unit() -> None:
+    pa = jnp.array([jnp.pi / 2, 0.0])
+    chex.assert_trees_all_close(
+        spherical_to_cartesian(pa), jnp.array([1.0, 0.0, 0.0]), atol=1e-7
+    )
+
+
+def test_assemble_path() -> None:
+    out = assemble_path(
+        jnp.zeros(3), jnp.ones((2, 3)), jnp.full((3,), 2.0)
+    )
+    assert out.shape == (4, 3)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.zeros(3))
+    np.testing.assert_array_equal(np.asarray(out[-1]), np.full(3, 2.0))
+    two = assemble_path(jnp.zeros(3), jnp.ones(3))
+    assert two.shape == (2, 3)
