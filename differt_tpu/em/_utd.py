@@ -170,21 +170,41 @@ def diffraction_coefficients(
 
     two_n = 2.0 * n
 
-    def cot_term(phi: Array, sign: float) -> Array:
-        # Regularized cotangent: exactly at a shadow/reflection boundary the
-        # cotangent diverges while F -> 0; the small-argument limit of
-        # cot(x) F(k L a) is finite (McNamara eq. 6.32). We clamp the
-        # cotangent argument away from 0 to keep float32 finite; accuracy at
-        # the exact boundary follows the usual epsilon-shift practice.
-        arg = (jnp.pi + sign * phi) / two_n
-        eps = 1e-6
-        arg = jnp.where(jnp.abs(jnp.sin(arg)) < eps, arg + eps, arg)
-        return _cot(arg)
+    def cot_f_term(phi: Array, mode: str, length: Array) -> Array:
+        """``cot((pi +- phi)/2n) F(k L a+-(phi))`` with the singular limit.
 
-    d1 = cot_term(phi_m, +1.0) * F(k * length_i * _a_plus_minus(phi_m, n, "+"))
-    d2 = cot_term(phi_m, -1.0) * F(k * length_i * _a_plus_minus(phi_m, n, "-"))
-    d3 = cot_term(phi_p, +1.0) * F(k * length_r_n * _a_plus_minus(phi_p, n, "+"))
-    d4 = cot_term(phi_p, -1.0) * F(k * length_r_o * _a_plus_minus(phi_p, n, "-"))
+        At shadow/reflection boundaries the cotangent diverges while
+        ``F -> 0``; their product stays finite. Near the singularity we use
+        the McNamara eq. 6.32 limit
+        ``n [sqrt(2 pi k L) sgn(eps) - 2 k L eps e^{j pi/4}] e^{j pi/4}``
+        where ``eps = 2 n x`` and ``x`` is the (signed, wrapped) distance of
+        the cotangent argument from a multiple of pi.
+        """
+        sign = 1.0 if mode == "+" else -1.0
+        arg = (jnp.pi + sign * phi) / two_n
+        # Signed distance of arg from the nearest multiple of pi.
+        x = arg - jnp.pi * jnp.round(arg / jnp.pi)
+        eps_m = two_n * x
+        singular = jnp.abs(eps_m) < 0.05
+
+        kl = k * length
+        a = _a_plus_minus(phi, n, mode)  # type: ignore[arg-type]
+        safe_arg = jnp.where(singular, jnp.pi / 4, arg)
+        exact = _cot(safe_arg) * F(kl * jnp.where(singular, 1.0, a))
+
+        sgn = jnp.where(eps_m >= 0.0, 1.0, -1.0)
+        exp_j_pi_4 = jnp.exp(1j * jnp.pi / 4)
+        limit = (
+            n
+            * (jnp.sqrt(2.0 * jnp.pi * kl) * sgn - 2.0 * kl * eps_m * exp_j_pi_4)
+            * exp_j_pi_4
+        )
+        return jnp.where(singular, limit, exact)
+
+    d1 = cot_f_term(phi_m, "+", length_i)
+    d2 = cot_f_term(phi_m, "-", length_i)
+    d3 = cot_f_term(phi_p, "+", length_r_n)
+    d4 = cot_f_term(phi_p, "-", length_r_o)
 
     factor = -jnp.exp(-1j * jnp.pi / 4) / (
         two_n * jnp.sqrt(2.0 * jnp.pi * k) * sin_beta_0

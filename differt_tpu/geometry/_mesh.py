@@ -666,6 +666,214 @@ class Mesh(eqx.Module):
         )
         return self.append(ground)
 
+    # -- Diffraction edges -------------------------------------------------
+
+    @eqx.filter_jit
+    def _connectivity(self) -> tuple[Int[Array, "num_triangles 3"], Int[Array, "num_triangles 3"]]:
+        """Edge-to-triangle adjacency via lexsorted half-edges.
+
+        For each of the 3 half-edges of each triangle, returns the adjacent
+        triangle index and its local edge index (-1 for boundary or
+        non-manifold edges; quad diagonals are excluded when
+        :attr:`assume_quads`). Requires :attr:`assume_unique_vertices`.
+        Reference parity: _mesh.py:966-1068.
+        """
+        triangles = self.triangles
+        num_triangles = triangles.shape[0]
+        if num_triangles == 0:
+            empty = jnp.empty((0, 3), dtype=jnp.int32)
+            return empty, empty
+
+        # Half-edge e of a triangle joins vertex e and vertex (e - 1) % 3,
+        # i.e. edge 0: v0-v2, edge 1: v1-v0, edge 2: v2-v1.
+        half_edges = jnp.stack(
+            (
+                triangles[:, [0, 2]],
+                triangles[:, [1, 0]],
+                triangles[:, [2, 1]],
+            ),
+            axis=1,
+        ).reshape(-1, 2)
+        undirected = jnp.sort(half_edges, axis=-1)
+        n_half = undirected.shape[0]
+
+        order = jnp.lexsort((undirected[:, 1], undirected[:, 0]))
+        sorted_edges = undirected[order]
+
+        same_as_prev = jnp.concatenate((
+            jnp.array([False]),
+            jnp.all(sorted_edges[1:] == sorted_edges[:-1], axis=-1),
+        ))
+        group_ids = jnp.cumsum(~same_as_prev) - 1
+        group_counts = jnp.bincount(group_ids, length=n_half)
+        pair_sizes = group_counts[group_ids]
+        is_manifold = pair_sizes == 2
+
+        partner_sorted = jnp.where(
+            same_as_prev, jnp.arange(n_half) - 1, jnp.arange(n_half) + 1
+        )
+        partner = order[partner_sorted.clip(max=n_half - 1)]
+
+        adj = jnp.full(n_half, -1, dtype=jnp.int32)
+        adj = adj.at[order].set(
+            jnp.where(is_manifold, partner, -1).astype(jnp.int32)
+        )
+
+        adj_t = jnp.where(adj != -1, adj // 3, -1).reshape(num_triangles, 3)
+        adj_e = jnp.where(adj != -1, adj % 3, -1).reshape(num_triangles, 3)
+
+        if self.assume_quads:
+            # The shared diagonal inside a quad is not a geometric edge.
+            t_idx = jnp.arange(num_triangles)[:, None]
+            is_diagonal = jnp.where(
+                t_idx % 2 == 0, adj_t == t_idx + 1, adj_t == t_idx - 1
+            )
+            adj_t = jnp.where(is_diagonal, -1, adj_t)
+            adj_e = jnp.where(is_diagonal, -1, adj_e)
+        return adj_t, adj_e
+
+    @property
+    def diffraction_edges_mask(self) -> Bool[Array, "num_triangles 3"]:
+        """Per-half-edge mask of valid diffraction edges.
+
+        A half-edge diffracts when it is manifold (exactly two adjacent
+        triangles), both triangles are active, and the faces are not
+        coplanar. Reference parity: _mesh.py:1070-1104.
+        """
+        if not self.assume_unique_vertices:
+            return self.dedup_vertices().diffraction_edges_mask
+        num_triangles = self.num_triangles
+        if num_triangles == 0:
+            return jnp.empty((0, 3), dtype=bool)
+
+        adj_t, _ = self._connectivity()
+        mask = adj_t != -1
+
+        if self.mask is not None:
+            mask = mask & self.mask[:, None]
+            adj_safe = jnp.where(adj_t != -1, adj_t, num_triangles)
+            padded = jnp.append(self.mask, False)
+            mask = mask & padded[adj_safe]
+
+        normals = self.normals
+        adj_safe = jnp.where(adj_t != -1, adj_t, num_triangles)
+        padded_normals = jnp.vstack((normals, jnp.zeros((1, 3))))
+        cos_phi = jnp.sum(normals[:, None, :] * padded_normals[adj_safe], axis=-1)
+        coplanar = cos_phi > 1.0 - 10.0 * jnp.finfo(cos_phi.dtype).eps
+        return mask & ~coplanar
+
+    @property
+    def wedge_angles(self) -> Float[Array, "num_triangles 3"]:
+        """Wedge parameter n (exterior angle = n * pi) per half-edge.
+
+        Convex wedges (adjacent face bending away from the normal) have
+        n > 1, reflex ones n < 1; non-diffracting edges report 1.
+        Reference parity: _mesh.py:1204-1247.
+        """
+        if not self.assume_unique_vertices:
+            return self.dedup_vertices().wedge_angles
+        num_triangles = self.num_triangles
+        if num_triangles == 0:
+            return jnp.empty((0, 3))
+
+        normals = self.normals
+        adj_t, adj_e = self._connectivity()
+        adj_safe = jnp.where(adj_t != -1, adj_t, num_triangles)
+        padded_normals = jnp.vstack((normals, jnp.zeros((1, 3))))
+        cos_phi = jnp.clip(
+            jnp.sum(normals[:, None, :] * padded_normals[adj_safe], axis=-1),
+            -1.0,
+            1.0,
+        )
+        phi = jnp.arccos(cos_phi)
+
+        # Side test: where does the adjacent triangle's opposite vertex lie
+        # relative to this face's plane? Above (+normal) means a reflex
+        # wedge, below a convex one.
+        vertices = self.triangle_vertices
+        opposite_of_edge = jnp.array([1, 2, 0])
+        opp_idx = opposite_of_edge[jnp.where(adj_e != -1, adj_e, 0)]
+        padded_vertices = jnp.vstack((vertices, jnp.zeros((1, 3, 3))))
+        v_opposite = padded_vertices[adj_safe, opp_idx]
+        to_opposite = v_opposite - vertices
+        side = jnp.sign(jnp.sum(normals[:, None, :] * to_opposite, axis=-1))
+
+        n = 1.0 - side * phi / jnp.pi
+        return jnp.where(self.diffraction_edges_mask, n, 1.0)
+
+    def _diffraction_edges_info(
+        self,
+    ) -> tuple[
+        Float[Array, "num_edges 2 3"],
+        Int[Array, "num_edges 2"],
+        Float[Array, " num_edges"],
+    ]:
+        """Unique diffraction edges: coordinates, adjacent triangles, wedge n.
+
+        Not jittable (dynamic edge count). Reference parity:
+        _mesh.py:1106-1176.
+        """
+        mask = self.diffraction_edges_mask
+        t_idx, e_idx = jnp.where(mask)
+        if t_idx.shape[0] == 0:
+            return (
+                jnp.empty((0, 2, 3)),
+                jnp.empty((0, 2), dtype=jnp.int32),
+                jnp.empty((0,)),
+            )
+
+        v_start = self.triangles[t_idx, e_idx]
+        v_end = self.triangles[t_idx, (e_idx - 1) % 3]
+        keys = jnp.stack(
+            (jnp.minimum(v_start, v_end), jnp.maximum(v_start, v_end)), axis=-1
+        )
+        _, unique_idx, inverse = jnp.unique(
+            keys, axis=0, return_index=True, return_inverse=True
+        )
+        num_edges = unique_idx.shape[0]
+
+        flat_half = t_idx * 3 + e_idx
+        edges = self.triangle_edges.reshape(-1, 2, 3)[flat_half[unique_idx]]
+
+        sort_idx = jnp.argsort(inverse)
+        sorted_inverse = inverse[sort_idx]
+        sorted_t = t_idx[sort_idx]
+        is_second = jnp.concatenate((
+            jnp.array([False]),
+            sorted_inverse[1:] == sorted_inverse[:-1],
+        ))
+        adj_triangles = jnp.full((num_edges, 2), -1, dtype=jnp.int32)
+        adj_triangles = adj_triangles.at[sorted_inverse[~is_second], 0].set(
+            sorted_t[~is_second].astype(jnp.int32)
+        )
+        adj_triangles = adj_triangles.at[sorted_inverse[is_second], 1].set(
+            sorted_t[is_second].astype(jnp.int32)
+        )
+
+        wedge_n = self.wedge_angles[t_idx[unique_idx], e_idx[unique_idx]]
+        return edges, adj_triangles, wedge_n
+
+    @property
+    def diffraction_edges(self) -> Float[Array, "num_edges 2 3"]:
+        """Coordinates of the unique diffraction edges (start/end vertices)."""
+        if not self.assume_unique_vertices:
+            return self.dedup_vertices().diffraction_edges
+        return self._diffraction_edges_info()[0]
+
+    @property
+    def diffraction_edges_to_triangles(self) -> Int[Array, "num_edges 2"]:
+        """Adjacent triangle indices per diffraction edge (-1 if single-sided)."""
+        if not self.assume_unique_vertices:
+            return self.dedup_vertices().diffraction_edges_to_triangles
+        return self._diffraction_edges_info()[1]
+
+    @property
+    def wedge_parameters(self) -> Float[Array, " num_edges"]:
+        """Wedge parameter n per unique diffraction edge."""
+        if not self.assume_unique_vertices:
+            return self.dedup_vertices().wedge_parameters
+        return self._diffraction_edges_info()[2]
+
     # -- Accelerated ray casting ------------------------------------------
 
     def ray_intersect_any_triangle(

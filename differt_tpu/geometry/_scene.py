@@ -251,6 +251,17 @@ class Scene(eqx.Module):
             *tx_batch, *rx_batch, -1
         )
 
+    def trace_diffraction_paths(self, **solver_kwargs: Any):
+        """Trace first-order diffraction paths over all mesh edges.
+
+        See :class:`differt_tpu.rt.DiffractionPathTracer`. This extends the
+        reference, which extracts diffraction edges but has no diffraction
+        solver.
+        """
+        from ..rt._diffraction import DiffractionPathTracer
+
+        return DiffractionPathTracer(**solver_kwargs).trace_paths(self)
+
     def compute_tx_mlm(
         self,
         *,

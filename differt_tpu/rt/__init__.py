@@ -16,6 +16,11 @@ from ._image_method import (
     image_of_vertex_with_respect_to_mirror,
     intersection_of_ray_with_plane,
 )
+from ._diffraction import (
+    DiffractionPathTracer,
+    diffraction_amplitudes,
+    diffraction_point_on_edge,
+)
 from ._fermat import (
     fermat_path_on_linear_objects,
     fermat_path_on_planar_mirrors,
@@ -44,7 +49,10 @@ __all__ = [
     "AbstractPathLauncher",
     "AbstractPathSolver",
     "AbstractPathTracer",
+    "DiffractionPathTracer",
     "ExhaustivePathTracer",
+    "diffraction_amplitudes",
+    "diffraction_point_on_edge",
     "HybridPathTracer",
     "SBRPathLauncher",
     "SizedIterator",
