@@ -1,13 +1,16 @@
-"""Benchmark: order-2 coverage map on a street-canyon scene (1 chip).
+"""Benchmark on the real accelerator (one chip). Prints ONE JSON line.
 
-Measures the BASELINE.md primary metric — path candidates traced per second
-(trace + EM pipeline, end-to-end) and coverage pixels per second — on the
-real accelerator. ``vs_baseline`` is the speedup of the active (Pallas on
-TPU) ray-casting backend over the portable pure-JAX XLA backend on the same
-chip, i.e. the measured value of the TPU-native kernel design.
+Two workloads matching BASELINE.md:
 
-Prints exactly one JSON line:
-``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+1. Config 2 — street canyon, order-2 exhaustive trace + EM pipeline over a
+   64x64 RX coverage grid: the primary metric, path candidates traced per
+   second per chip (end to end, including the Jones-chain EM stage).
+2. Config 3 scale — ~10k-triangle procedural city, 1M-ray closest-hit
+   (the SBR/visibility workhorse): rays/s with the Pallas kernel, plus its
+   speedup over the portable pure-JAX XLA backend on the same chip
+   (reported as ``vs_baseline`` — the measured value of the TPU-native
+   kernel design; the reference itself publishes no absolute numbers and
+   does not run on TPU at all).
 """
 
 import json
@@ -17,73 +20,106 @@ import jax
 import jax.numpy as jnp
 
 from differt_tpu.coverage import received_power
-from differt_tpu.geometry import Mesh, Scene, count_path_candidates
+from differt_tpu.geometry import count_path_candidates, fibonacci_lattice
 from differt_tpu.ops import set_backend
-from differt_tpu import treekit as tk
+from differt_tpu.ops._pallas_rt import pallas_first_triangle_hit_by_ray
+from differt_tpu.rt import first_triangle_hit_by_ray
+from differt_tpu.scenes import street_canyon_scene, urban_scene
 
 GRID = 64
 ORDER = 2
 FREQUENCY = 2.4e9
+NUM_RAYS = 1_000_000
 
 
-def make_scene() -> Scene:
-    mesh = Mesh.box(length=80.0, width=30.0, height=20.0, with_top=False)
-    mesh = mesh.set_materials("Concrete")
-    scene = Scene(transmitters=jnp.array([-20.0, 0.0, 5.0]), mesh=mesh)
-    return scene.with_receivers_grid(GRID, GRID, height=1.5)
+def _sync(x) -> float:
+    return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
 
 
-def run_once(scene: Scene, eta_r, conductivity):
-    paths = scene.trace_paths(order=ORDER)
-    return received_power(
-        paths, scene, FREQUENCY, eta_r=eta_r, conductivity=conductivity
+def bench_coverage() -> dict:
+    scene = street_canyon_scene()
+    scene = scene.set_assume_quads() if scene.mesh.num_triangles % 2 == 0 else scene
+    import differt_tpu.treekit as tk
+
+    scene = tk.tree_at(
+        lambda s: s.transmitters, scene, jnp.array([-30.0, 0.0, 20.0])
     )
+    scene = scene.with_receivers_grid(GRID, GRID, height=1.5)
 
-
-def timed(scene: Scene, repeats: int = 3) -> float:
     eta_r = jnp.array([5.24])
     conductivity = jnp.array([0.1])
-    out = run_once(scene, eta_r, conductivity)
-    float(out.sum())  # Warm-up + compile, forced to completion.
+
+    def run():
+        paths = scene.trace_paths(order=ORDER)
+        return received_power(
+            paths, scene, FREQUENCY, eta_r=eta_r, conductivity=conductivity
+        )
+
+    _sync(run())
     best = float("inf")
-    for _ in range(repeats):
+    for _ in range(3):
         start = time.perf_counter()
-        out = run_once(scene, eta_r, conductivity)
-        float(out.sum())  # Host fetch: real completion barrier.
+        _sync(run())
         best = min(best, time.perf_counter() - start)
-    return best
+
+    num_candidates = count_path_candidates(scene.mesh.num_primitives, ORDER)
+    num_rx = scene.num_receivers
+    return {
+        "paths_per_s": num_candidates * num_rx / best,
+        "px_per_s": num_rx / best,
+        "num_candidates": num_candidates,
+        "elapsed_s": best,
+        "num_primitives": scene.mesh.num_primitives,
+    }
+
+
+def bench_raycast() -> dict:
+    scene = urban_scene(8, 8)
+    tv = scene.mesh.triangle_vertices
+    num_triangles = scene.mesh.num_triangles
+    origins = jnp.broadcast_to(jnp.array([0.0, 0.0, 30.0]), (NUM_RAYS, 3))
+    directions = fibonacci_lattice(NUM_RAYS) * 500.0
+
+    def timed(fn) -> float:
+        _sync(fn()[1])
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            _sync(fn()[1])
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    t_pallas = timed(
+        lambda: pallas_first_triangle_hit_by_ray(origins, directions, tv)
+    )
+    # batch_size=256 keeps the XLA path's [num_rays, tile] temporaries
+    # within HBM at 1M rays (bigger tiles OOM the 16G chip).
+    jitted = jax.jit(
+        lambda o, d, t: first_triangle_hit_by_ray(o, d, t, batch_size=256)
+    )
+    t_xla = timed(lambda: jitted(origins, directions, tv))
+    return {
+        "num_triangles": num_triangles,
+        "rays_per_s_pallas": NUM_RAYS / t_pallas,
+        "rays_per_s_xla": NUM_RAYS / t_xla,
+        "tests_per_s_pallas": NUM_RAYS * num_triangles / t_pallas,
+        "pallas_speedup_vs_xla": t_xla / t_pallas,
+    }
 
 
 def main() -> None:
-    scene = make_scene()
-    num_candidates = count_path_candidates(scene.mesh.num_primitives, ORDER)
-    num_rx = scene.num_receivers
-    paths_per_run = num_candidates * num_rx * scene.num_transmitters
-
-    elapsed = timed(scene)
-    paths_per_s = paths_per_run / elapsed
-    px_per_s = num_rx / elapsed
-
-    set_backend("jax")
-    try:
-        elapsed_xla = timed(scene)
-    finally:
-        set_backend("auto")
-    vs_baseline = elapsed_xla / elapsed
-
+    set_backend("auto")
+    coverage = bench_coverage()
+    raycast = bench_raycast()
     print(
         json.dumps({
             "metric": "order2_coverage_path_candidates_traced_per_s",
-            "value": round(paths_per_s, 1),
+            "value": round(coverage["paths_per_s"], 1),
             "unit": "paths/s/chip",
-            "vs_baseline": round(vs_baseline, 3),
+            "vs_baseline": round(raycast["pallas_speedup_vs_xla"], 3),
             "extra": {
-                "coverage_px_per_s": round(px_per_s, 1),
-                "grid": [GRID, GRID],
-                "order": ORDER,
-                "num_candidates": num_candidates,
-                "elapsed_s": round(elapsed, 4),
-                "elapsed_xla_backend_s": round(elapsed_xla, 4),
+                "coverage": {k: round(v, 2) for k, v in coverage.items()},
+                "raycast": {k: round(v, 2) for k, v in raycast.items()},
                 "backend": jax.default_backend(),
             },
         })

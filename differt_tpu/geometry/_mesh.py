@@ -20,6 +20,101 @@ from jaxtyping import Array, ArrayLike, Bool, Float, Int, PRNGKeyArray
 from ._vectors import normalize, orthogonal_basis, rotation_matrix_along_axis
 
 
+_AT_KWARGS = {"mode": "drop", "wrap_negative_indices": False}
+
+
+class _MeshVerticesUpdateRef:
+    """Pending differentiable vertex update for a triangle selection.
+
+    Gathers the unique vertex indices of the selected triangles (shared
+    vertices are updated once) and applies ``jax.numpy.ndarray.at``-style
+    updates out of place. Reference parity: _mesh.py:415-609.
+    """
+
+    __slots__ = ("index", "mesh")
+
+    def __init__(self, mesh: "Mesh", index) -> None:
+        if not isinstance(index, slice):
+            arr = jnp.asarray(index)
+            if arr.ndim > 1:
+                msg = (
+                    "Index must be at most one-dimensional, got array with "
+                    f"shape {arr.shape}."
+                )
+                raise ValueError(msg)
+        self.mesh = mesh
+        self.index = index
+
+    def __repr__(self) -> str:
+        return f"_MeshVerticesUpdateRef({self.mesh!r}, {self.index!r})"
+
+    def _vertex_index(self, **kwargs: Any):
+        index = self.mesh.triangles.at[self.index, :].get(**kwargs).reshape(-1)
+        # Unique indices so shared vertices receive exactly one update;
+        # fill with num_vertices so dropped slots fall off the array.
+        return jnp.unique(
+            index, size=index.shape[0], fill_value=self.mesh.vertices.shape[0]
+        )
+
+    def get(self, **kwargs: Any):
+        index = self.mesh.triangles.at[self.index, :].get(**kwargs).reshape(-1)
+        return self.mesh.vertices.at[index, :].get(wrap_negative_indices=False)
+
+    def _update(self, op: str, values, **kwargs: Any) -> "Mesh":
+        index = self._vertex_index(**kwargs)
+        updater = getattr(self.mesh.vertices.at[index, :], op)
+        return eqx.tree_at(
+            lambda m: m.vertices, self.mesh, updater(values, **_AT_KWARGS)
+        )
+
+    def set(self, values, **kwargs: Any) -> "Mesh":
+        return self._update("set", values, **kwargs)
+
+    def add(self, values, **kwargs: Any) -> "Mesh":
+        return self._update("add", values, **kwargs)
+
+    def sub(self, values, **kwargs: Any) -> "Mesh":
+        return self._update("subtract", values, **kwargs)
+
+    def mul(self, values, **kwargs: Any) -> "Mesh":
+        return self._update("multiply", values, **kwargs)
+
+    def div(self, values, **kwargs: Any) -> "Mesh":
+        return self._update("divide", values, **kwargs)
+
+    def pow(self, values, **kwargs: Any) -> "Mesh":
+        return self._update("power", values, **kwargs)
+
+    def min(self, values, **kwargs: Any) -> "Mesh":
+        return self._update("min", values, **kwargs)
+
+    def max(self, values, **kwargs: Any) -> "Mesh":
+        return self._update("max", values, **kwargs)
+
+    def apply(self, func, **kwargs: Any) -> "Mesh":
+        index = self._vertex_index(**kwargs)
+        return eqx.tree_at(
+            lambda m: m.vertices,
+            self.mesh,
+            self.mesh.vertices.at[index, :].apply(func, **_AT_KWARGS),
+        )
+
+
+class _MeshVerticesUpdateHelper:
+    """Indexable entry point for :attr:`Mesh.at`."""
+
+    __slots__ = ("mesh",)
+
+    def __init__(self, mesh: "Mesh") -> None:
+        self.mesh = mesh
+
+    def __getitem__(self, index) -> _MeshVerticesUpdateRef:
+        return _MeshVerticesUpdateRef(self.mesh, index)
+
+    def __repr__(self) -> str:
+        return f"_MeshVerticesUpdateHelper({self.mesh!r})"
+
+
 class Mesh(eqx.Module):
     """A triangle mesh with optional colors, materials, sub-objects and mask."""
 
@@ -665,6 +760,16 @@ class Mesh(eqx.Module):
             side_length=side_length,
         )
         return self.append(ground)
+
+    @property
+    def at(self) -> _MeshVerticesUpdateHelper:
+        """Differentiable per-triangle vertex updates.
+
+        ``mesh.at[triangle_index].add(delta)`` etc., with shared vertices
+        deduplicated so each vertex is updated exactly once.
+        Reference parity: _mesh.py:1284-1382.
+        """
+        return _MeshVerticesUpdateHelper(self)
 
     # -- Diffraction edges -------------------------------------------------
 

@@ -251,6 +251,65 @@ class Scene(eqx.Module):
             *tx_batch, *rx_batch, -1
         )
 
+    @classmethod
+    def from_mitsuba(cls, mi_scene) -> "Scene":
+        """Build a scene from a loaded Mitsuba scene object.
+
+        Requires the optional ``mitsuba`` package.
+        Reference parity: _scene.py:510-548.
+        """
+        import mitsuba as mi
+        import numpy as np
+
+        mesh = Mesh.empty()
+        params = mi.traverse(mi_scene)
+        shapes = [
+            key.removesuffix(".vertex_positions")
+            for key in params.keys()
+            if key.endswith(".vertex_positions")
+        ]
+        for shape in shapes:
+            vertices = jnp.asarray(
+                np.asarray(params[f"{shape}.vertex_positions"]).reshape(-1, 3)
+            )
+            triangles = jnp.asarray(
+                np.asarray(params[f"{shape}.faces"]).reshape(-1, 3).astype(np.int32)
+            )
+            mesh = mesh + Mesh(vertices=vertices, triangles=triangles)
+        return cls(mesh=mesh)
+
+    @classmethod
+    def from_sionna(cls, sionna_scene) -> "Scene":
+        """Build a scene from a loaded Sionna RT scene object.
+
+        Requires the optional ``sionna`` package.
+        Reference parity: _scene.py:550-590.
+        """
+        return cls.from_mitsuba(sionna_scene.mi_scene)
+
+    def compute_paths(
+        self,
+        order: int | None = None,
+        *,
+        method: Literal["exhaustive", "hybrid", "sbr"] = "exhaustive",
+        **kwargs: Any,
+    ):
+        """Deprecated alias dispatching to :meth:`trace_paths` / :meth:`launch_paths`.
+
+        .. deprecated::
+            Use :meth:`trace_paths` (method='exhaustive'/'hybrid') or
+            :meth:`launch_paths` (method='sbr') instead.
+            Reference parity: _scene.py:1046-1248.
+        """
+        warnings.warn(
+            "compute_paths is deprecated, use trace_paths or launch_paths instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        if method == "sbr":
+            return self.launch_paths(order, solver="sbr", **kwargs)
+        return self.trace_paths(order, solver=method, **kwargs)
+
     def trace_diffraction_paths(self, **solver_kwargs: Any):
         """Trace first-order diffraction paths over all mesh edges.
 
