@@ -114,6 +114,99 @@ class DeepMIMO(eqx.Module, Generic[ArrayType]):
 
         return jax.tree.map(lambda x: np.asarray(x), self)
 
+    def jax(self) -> "DeepMIMO[Array]":
+        """Convert all arrays to JAX arrays."""
+        return jax.tree.map(jnp.asarray, self)
+
+    def sort_by_vertices(
+        self,
+        vertices: Float[ArrayLike, "num_tx num_rx num_paths max_inter 3"],
+        interactions: Int[ArrayLike, "num_tx num_rx num_paths max_inter"],
+    ) -> "DeepMIMO[Array]":
+        """Reorder paths to match an external path ordering.
+
+        For each external path (given by its interaction positions and
+        types), the closest matching internal path is found and paths are
+        permuted accordingly — useful for comparing against another ray
+        tracer (e.g., Sionna RT) whose path order differs.
+        Reference parity: plugins/deepmimo.py:160-220 (``_sort``),
+        generalized to plain arrays instead of ``sionna.rt.Paths``.
+        """
+        vertices = jnp.asarray(vertices)
+        interactions = jnp.asarray(interactions)
+        if vertices.shape != self.inter_pos.shape:
+            msg = (
+                "Cannot sort based on provided paths: shape mismatch, got "
+                f"{vertices.shape!r} but expected {self.inter_pos.shape!r}."
+            )
+            raise ValueError(msg)
+
+        max_inter = self.inter.shape[-1]
+        distances = jnp.linalg.norm(
+            self.inter_pos.reshape(-1, 1, max_inter, 3)
+            - vertices.reshape(1, -1, max_inter, 3),
+            axis=3,
+        )
+        type_mismatch = ~(
+            self.inter.reshape(-1, 1, max_inter)
+            == interactions.reshape(1, -1, max_inter)
+        ).all(axis=-1)
+        cost = distances.sum(
+            axis=2,
+            initial=jnp.where(type_mismatch, jnp.inf, 0.0),
+            where=self.inter.reshape(-1, 1, max_inter) != -1,
+        )
+        indices = cost.argmin(axis=1)
+
+        prefix = (self.num_tx, self.num_rx, self.num_paths)
+
+        def sort_fn(x: Array) -> Array:
+            if x is None or getattr(x, "shape", ())[: len(prefix)] != prefix:
+                return x
+            y = x.reshape(-1, *x.shape[len(prefix):])
+            return y[indices, ...].reshape(x.shape)
+
+        return jax.tree.map(sort_fn, self.jax())
+
+    def iter_paths(self):
+        """Iterate over valid path vertex arrays grouped by interaction count."""
+        from ..geometry import SizedIterator
+
+        max_inter = self.inter.shape[-1]
+
+        def it():
+            num_interactions = jnp.min(
+                jnp.broadcast_to(jnp.arange(max_inter), self.inter.shape),
+                initial=max_inter,
+                where=self.inter == -1,
+                axis=-1,
+            )
+            for num in range(max_inter + 1):
+                where = (self.mask & (num_interactions == num)).reshape(-1)
+                tx = jnp.broadcast_to(
+                    self.tx_pos[:, None, None, :],
+                    (self.num_tx, self.num_rx, self.num_paths, 3),
+                ).reshape(-1, 3)[where, :]
+                rx = jnp.broadcast_to(
+                    self.rx_pos[None, :, None, :],
+                    (self.num_tx, self.num_rx, self.num_paths, 3),
+                ).reshape(-1, 3)[where, :]
+                mid = self.inter_pos.reshape(-1, max_inter, 3)[where, :num, :]
+                yield jnp.concatenate(
+                    (tx[..., None, :], mid, rx[..., None, :]), axis=-2
+                )
+
+        return SizedIterator(it(), size=max_inter + 1)
+
+    def plot_paths(self, **kwargs: Any):
+        """Plot all valid paths."""
+        from ..plotting import draw_paths, reuse
+
+        with reuse(**kwargs, pass_all_kwargs=True) as output:
+            for paths in self.iter_paths():
+                draw_paths(paths)
+        return output
+
 
 def export(
     *,
