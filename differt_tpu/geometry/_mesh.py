@@ -542,30 +542,26 @@ class Mesh(eqx.Module):
                 )
             face_materials = jnp.concatenate((self_mats, other_mats), axis=0)
 
-        object_bounds = None
-        if self.object_bounds is not None and other.object_bounds is not None:
-            object_bounds = jnp.concatenate(
-                (self.object_bounds, other.object_bounds + num_self), axis=0
+        # Each side contributes its own object bounds, a bound-less
+        # (non-empty) side counting as a single object — so appending meshes
+        # always records the sub-object structure (as the reference's scene
+        # merge does, scene.rs:47-68).
+        segments = []
+        if self.object_bounds is not None:
+            segments.append(jnp.asarray(self.object_bounds, dtype=jnp.int32))
+        elif num_self > 0:
+            segments.append(jnp.asarray([[0, num_self]], dtype=jnp.int32))
+        if other.object_bounds is not None:
+            segments.append(
+                jnp.asarray(other.object_bounds, dtype=jnp.int32) + num_self
             )
-        elif self.object_bounds is not None:
-            object_bounds = jnp.concatenate(
-                (
-                    self.object_bounds,
-                    jnp.asarray(
-                        [[num_self, num_self + num_other]],
-                        dtype=self.object_bounds.dtype,
-                    ),
-                ),
-                axis=0,
+        elif num_other > 0:
+            segments.append(
+                jnp.asarray([[num_self, num_self + num_other]], dtype=jnp.int32)
             )
-        elif other.object_bounds is not None:
-            object_bounds = jnp.concatenate(
-                (
-                    jnp.asarray([[0, num_self]], dtype=other.object_bounds.dtype),
-                    other.object_bounds + num_self,
-                ),
-                axis=0,
-            )
+        object_bounds = (
+            jnp.concatenate(segments, axis=0) if segments else None
+        )
 
         mask = None
         if self.mask is not None or other.mask is not None:

@@ -1,0 +1,148 @@
+"""Tests for OBJ / PLY / Sionna-XML loaders."""
+
+import numpy as np
+import pytest
+
+from differt_tpu.io import load_obj, load_ply, load_scene_xml
+from differt_tpu.io._xml import SionnaScene
+
+
+@pytest.fixture
+def cube_obj(tmp_path):
+    path = tmp_path / "cube.obj"
+    path.write_text(
+        "\n".join(
+            [f"v {x} {y} {z}" for x in (0, 1) for y in (0, 1) for z in (0, 1)]
+        )
+        + "\nf 1 2 4 3\nf 5 7 8 6\nf 1 5 6 2\nf 3 4 8 7\nf 1 3 7 5\nf 2 6 8 4\n"
+    )
+    return path
+
+
+def test_load_obj_cube(cube_obj) -> None:
+    mesh = load_obj(cube_obj)
+    assert mesh.vertices.shape == (8, 3)
+    assert mesh.num_triangles == 12  # 6 quads fan-triangulated.
+
+
+def test_load_obj_with_materials(tmp_path) -> None:
+    (tmp_path / "m.mtl").write_text(
+        "newmtl red\nKd 1 0 0\nnewmtl blue\nKd 0 0 1\n"
+    )
+    obj = tmp_path / "mesh.obj"
+    obj.write_text(
+        "mtllib m.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "usemtl red\nf 1 2 3\nusemtl blue\nf 2 4 3\n"
+    )
+    mesh = load_obj(obj)
+    assert mesh.material_names == ("red", "blue")
+    np.testing.assert_array_equal(np.asarray(mesh.face_materials), [0, 1])
+    np.testing.assert_allclose(
+        np.asarray(mesh.face_colors), [[1, 0, 0], [0, 0, 1]]
+    )
+
+
+def test_load_ply_ascii(tmp_path) -> None:
+    ply = tmp_path / "tri.ply"
+    ply.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 2\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0\n1 0 0\n1 1 0\n0 1 0\n"
+        "3 0 1 2\n4 0 1 2 3\n"
+    )
+    mesh = load_ply(ply)
+    assert mesh.vertices.shape == (4, 3)
+    assert mesh.num_triangles == 3  # One triangle + one quad fan.
+
+
+def test_load_ply_binary(tmp_path) -> None:
+    import struct
+
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    ).encode()
+    body = b"".join(
+        struct.pack("<3f", *v) for v in [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+    ) + struct.pack("<B3i", 3, 0, 1, 2)
+    ply = tmp_path / "bin.ply"
+    ply.write_bytes(header + body)
+    mesh = load_ply(ply)
+    assert mesh.vertices.shape == (3, 3)
+    np.testing.assert_array_equal(np.asarray(mesh.triangles), [[0, 1, 2]])
+
+
+SCENE_XML = """<?xml version="1.0"?>
+<scene version="2.1.0">
+  <bsdf type="itu-radio-material" id="mat-itu_concrete">
+    <string name="type" value="concrete"/>
+    <float name="thickness" value="0.1"/>
+  </bsdf>
+  <bsdf type="twosided" id="mat-custom">
+    <bsdf type="diffuse">
+      <rgb value="0.2 0.4 0.6" name="reflectance"/>
+    </bsdf>
+  </bsdf>
+  <shape type="obj" id="building">
+    <string name="filename" value="meshes/building.obj"/>
+    <ref id="mat-itu_concrete" name="bsdf"/>
+  </shape>
+  <shape type="obj" id="ground">
+    <string name="filename" value="meshes/ground.obj"/>
+    <ref id="mat-custom" name="bsdf"/>
+  </shape>
+</scene>
+"""
+
+
+@pytest.fixture
+def sionna_dir(tmp_path):
+    (tmp_path / "meshes").mkdir()
+    (tmp_path / "meshes" / "building.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n"
+    )
+    (tmp_path / "meshes" / "ground.obj").write_text(
+        "v 0 0 0\nv 2 0 0\nv 0 2 0\nv 2 2 0\nf 1 2 4 3\n"
+    )
+    (tmp_path / "scene.xml").write_text(SCENE_XML)
+    return tmp_path
+
+
+def test_sionna_xml_parse(sionna_dir) -> None:
+    scene = SionnaScene.load_xml(sionna_dir / "scene.xml")
+    assert set(scene.materials) == {"mat-itu_concrete", "mat-custom"}
+    concrete = scene.materials["mat-itu_concrete"]
+    assert concrete.name == "itu_concrete"
+    assert concrete.thickness == pytest.approx(0.1)
+    assert concrete.color == pytest.approx((0.539, 0.539, 0.539))
+    custom = scene.materials["mat-custom"]
+    assert custom.name == "custom"
+    assert custom.color == pytest.approx((0.2, 0.4, 0.6))
+    assert set(scene.shapes) == {"building", "ground"}
+    assert scene.shapes["building"].material_id == "mat-itu_concrete"
+
+
+def test_load_scene_xml_merges(sionna_dir) -> None:
+    mesh = load_scene_xml(sionna_dir / "scene.xml")
+    assert mesh.num_triangles == 3  # 1 building + 2 ground.
+    assert set(mesh.material_names) == {"itu_concrete", "custom"}
+    assert mesh.object_bounds is not None
+    assert mesh.num_objects == 2
+    colors = np.asarray(mesh.face_colors)
+    assert colors.shape == (3, 3)
+
+
+def test_scene_load_xml_api(sionna_dir) -> None:
+    from differt_tpu.geometry import Scene
+
+    scene = Scene.load_xml(sionna_dir / "scene.xml")
+    assert scene.mesh.num_triangles == 3

@@ -1,0 +1,88 @@
+"""Smoke tests for the plotting layer (matplotlib backend, headless)."""
+
+import jax.numpy as jnp
+import matplotlib
+import numpy as np
+import pytest
+
+matplotlib.use("Agg")
+
+from differt_tpu.geometry import Mesh
+from differt_tpu.plotting import (
+    draw_image,
+    draw_markers,
+    draw_mesh,
+    draw_paths,
+    draw_rays,
+    draw_surface,
+    get_backend,
+    reuse,
+    set_backend,
+    use,
+)
+
+
+@pytest.fixture(autouse=True)
+def mpl_backend():
+    old = get_backend()
+    set_backend("matplotlib")
+    yield
+    set_backend(old)
+
+
+def test_backend_dispatch() -> None:
+    assert get_backend() == "matplotlib"
+    with pytest.raises(ValueError, match="Unsupported backend"):
+        set_backend("vispy3d")
+    with use("matplotlib"):
+        assert get_backend() == "matplotlib"
+
+
+def test_draw_mesh() -> None:
+    fig = draw_mesh(Mesh.box(with_top=True))
+    assert fig.axes
+
+
+def test_draw_paths_and_rays() -> None:
+    paths = jnp.zeros((4, 3, 3)).at[:, 1, 2].set(1.0)
+    fig = draw_paths(paths)
+    assert fig.axes
+    fig = draw_rays(jnp.zeros((5, 3)), jnp.ones((5, 3)))
+    assert fig.axes
+
+
+def test_draw_markers_with_labels() -> None:
+    fig = draw_markers(jnp.zeros((2, 3)), labels=["tx", "rx"])
+    assert fig.axes
+
+
+def test_draw_image_and_surface() -> None:
+    data = np.random.default_rng(0).random((8, 8))
+    fig = draw_image(data)
+    assert fig.axes
+    x, y = np.meshgrid(np.arange(8.0), np.arange(8.0))
+    fig = draw_surface(x=x, y=y, z=data)
+    assert fig.axes
+
+
+def test_reuse_accumulates() -> None:
+    with reuse(backend="matplotlib") as fig:
+        draw_markers(jnp.zeros((1, 3)))
+        draw_paths(jnp.zeros((1, 2, 3)))
+    assert fig.axes
+    assert len(fig.axes[0].lines) >= 1
+
+
+def test_mesh_scene_paths_plot_methods() -> None:
+    from differt_tpu.geometry import Scene
+
+    mesh = Mesh.box(4.0, 4.0, 4.0, with_top=True)
+    scene = Scene(
+        transmitters=jnp.array([-1.0, 0.0, 0.0]),
+        receivers=jnp.array([1.0, 0.0, 0.0]),
+        mesh=mesh,
+    )
+    fig = scene.plot(backend="matplotlib")
+    assert fig is not None
+    paths = scene.trace_paths(order=1)
+    assert paths.plot() is not None
