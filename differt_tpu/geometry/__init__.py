@@ -13,8 +13,8 @@ from ._candidates import (
 )
 from ._lattice import fibonacci_lattice, viewing_frustum
 from ._mesh import Mesh
-from ._paths import LaunchedPaths, TracedPaths, merge_cell_ids
-from ._scene import Scene
+from ._paths import LaunchedPaths, Paths, SBRPaths, TracedPaths, merge_cell_ids
+from ._scene import Scene, TriangleScene
 from ._vectors import (
     assemble_path,
     cartesian_to_spherical,
@@ -33,9 +33,12 @@ from ._vectors import (
 __all__ = [
     "LaunchedPaths",
     "Mesh",
+    "Paths",
+    "SBRPaths",
     "Scene",
     "SizedIterator",
     "TracedPaths",
+    "TriangleScene",
     "assemble_path",
     "cartesian_to_spherical",
     "count_path_candidates",

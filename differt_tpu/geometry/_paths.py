@@ -240,6 +240,20 @@ class TracedPaths(eqx.Module):
         return draw_paths(self.masked_vertices, **kwargs)
 
 
+class Paths(TracedPaths):
+    """Deprecated alias for :class:`TracedPaths` (reference parity: _paths.py:496-510)."""
+
+    def __init__(self, *args: Any, **kwargs: Any) -> None:
+        import warnings
+
+        warnings.warn(
+            "Paths is deprecated, use TracedPaths instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        super().__init__(*args, **kwargs)
+
+
 class LaunchedPaths(eqx.Module):
     """Paths produced by ray launching (SBR), with per-order masks.
 
@@ -364,3 +378,17 @@ class LaunchedPaths(eqx.Module):
             for order in range(self.order + 1):
                 self.get_paths(order).plot()
         return output
+
+
+class SBRPaths(LaunchedPaths):
+    """Deprecated alias for :class:`LaunchedPaths` (reference parity: _paths.py:718-732)."""
+
+    def __init__(self, *args: Any, **kwargs: Any) -> None:
+        import warnings
+
+        warnings.warn(
+            "SBRPaths is deprecated, use LaunchedPaths instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        super().__init__(*args, **kwargs)

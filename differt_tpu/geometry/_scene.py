@@ -357,3 +357,15 @@ class Scene(eqx.Module):
             if self.num_receivers:
                 draw_markers(self.receivers.reshape(-1, 3), labels=["rx"])
         return output
+
+
+class TriangleScene(Scene):
+    """Deprecated alias for :class:`Scene` (reference parity: _scene.py:1413-1426)."""
+
+    def __init__(self, *args: Any, **kwargs: Any) -> None:
+        warnings.warn(
+            "TriangleScene is deprecated, use Scene instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        super().__init__(*args, **kwargs)

@@ -19,6 +19,7 @@ from ._core import (
 )
 from ._utils import (
     PlotOutput,
+    dispatch,
     get_backend,
     reuse,
     set_backend,
@@ -36,6 +37,7 @@ __all__ = [
     "draw_paths",
     "draw_rays",
     "draw_surface",
+    "dispatch",
     "get_backend",
     "reuse",
     "set_backend",

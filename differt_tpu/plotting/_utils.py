@@ -81,6 +81,46 @@ def use(backend: str):
         _CURRENT_BACKEND.reset(token)
 
 
+def dispatch(fun):
+    """Turn a function into a per-backend dispatcher.
+
+    The wrapped function is documentation only; implementations are added
+    with ``@fn.register("plotly")`` / ``@fn.register("matplotlib")`` and the
+    call is routed by the ``backend=...`` keyword (or the active default).
+    Reference parity: plotting/_utils.py:310-455.
+    """
+    registry: dict[str, Any] = {}
+
+    def register(backend: str):
+        if backend not in SUPPORTED_BACKENDS:
+            msg = (
+                f"Unsupported backend {backend!r}, "
+                f"allowed values are: {', '.join(SUPPORTED_BACKENDS)}."
+            )
+            raise ValueError(msg)
+
+        def wrapper(impl):
+            registry[backend] = impl
+            return impl
+
+        return wrapper
+
+    def call(*args: Any, backend: str | None = None, **kwargs: Any):
+        resolved = get_backend(backend)
+        try:
+            impl = registry[resolved]
+        except KeyError:
+            msg = f"No backend implementation for {resolved!r}"
+            raise NotImplementedError(msg) from None
+        return impl(*args, **kwargs)
+
+    call.register = register
+    call.registry = registry
+    call.__name__ = getattr(fun, "__name__", "dispatch")
+    call.__doc__ = fun.__doc__
+    return call
+
+
 def current_figure() -> Any:
     """The figure currently being reused, if any."""
     return _CURRENT_FIGURE.get()
