@@ -54,7 +54,20 @@ def complex_amplitudes(
     else:
         thickness = jnp.asarray(thickness)
 
-    segments = jnp.diff(paths.vertices, axis=-2)
+    # Invalid paths may carry zeroed (or degenerate) vertices; normalize at
+    # zero length is non-differentiable, and NaN * 0-weight is still NaN in
+    # the backward pass. Substitute a harmless straight dummy path wherever
+    # the path is invalid — its contribution is zeroed by the weight below.
+    valid = (
+        paths.mask
+        if paths.mask.dtype == jnp.bool_
+        else paths.mask >= paths.confidence_threshold
+    )
+    path_length = paths.vertices.shape[-2]
+    dummy = jnp.zeros((path_length, 3)).at[:, 0].set(jnp.arange(path_length, dtype=paths.vertices.dtype))
+    vertices = jnp.where(valid[..., None, None], paths.vertices, dummy)
+
+    segments = jnp.diff(vertices, axis=-2)
     k, s = normalize(segments, keepdims=True)
 
     theta_hat_0, _ = spherical_basis(k[..., 0, :])
@@ -75,7 +88,7 @@ def complex_amplitudes(
         n_r_val = jnp.take(n_complex, mat_indices, axis=0)
         thickness_val = jnp.take(thickness, mat_indices, axis=0)
         j_total = transition_matrix(
-            paths.vertices,
+            vertices,
             obj_normals,
             n_r_val,
             thickness_val,

@@ -95,17 +95,23 @@ def spherical_basis(
 ) -> tuple[Float[Array, "*batch 3"], Float[Array, "*batch 3"]]:
     """Spherical-frame unit vectors ``(theta_hat, phi_hat)`` for directions ``k``.
 
-    Reference parity: plugins/deepmimo.py:333-363.
+    Built algebraically (no arccos/arctan2) so gradients stay finite
+    everywhere; at the exact poles the ``phi = 0`` convention is pinned
+    (matching ``arctan2(0, 0) = 0``). For unit ``k``:
+    ``theta_hat = (z x / s, z y / s, -s)``, ``phi_hat = (-y/s, x/s, 0)``
+    with ``s = sqrt(x^2 + y^2)``. Reference parity:
+    plugins/deepmimo.py:333-363 (same values, angle-free formulation).
     """
     k = jnp.asarray(k)
-    x, y = k[..., 0], k[..., 1]
-    z = jnp.clip(k[..., 2], -1.0, 1.0)
-    theta = jnp.arccos(z)
-    phi = jnp.arctan2(y, x)
-    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
-    sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
-    theta_hat = jnp.stack((cos_t * cos_p, cos_t * sin_p, -sin_t), axis=-1)
-    phi_hat = jnp.stack((-sin_p, cos_p, jnp.zeros_like(phi)), axis=-1)
+    x, y, z = k[..., 0], k[..., 1], k[..., 2]
+    s_sq = x * x + y * y
+    degenerate = s_sq < 1e-12
+    s = jnp.sqrt(jnp.where(degenerate, 1.0, s_sq))
+    cos_p = jnp.where(degenerate, 1.0, x / s)
+    sin_p = jnp.where(degenerate, 0.0, y / s)
+    s_out = jnp.where(degenerate, 0.0, s)
+    theta_hat = jnp.stack((z * cos_p, z * sin_p, -s_out), axis=-1)
+    phi_hat = jnp.stack((-sin_p, cos_p, jnp.zeros_like(s)), axis=-1)
     return theta_hat, phi_hat
 
 

