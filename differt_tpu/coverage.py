@@ -155,12 +155,16 @@ def power_map(
     thickness: Float[ArrayLike, " num_materials"] | None = None,
     coherent: bool = True,
     solver: str = "exhaustive",
+    with_diffraction: bool = False,
     **solver_kwargs: Any,
 ) -> Float[Array, "*batch"]:
     """Coverage map: received power for every TX/RX pair in the scene.
 
     Material parameters default to the built-in ITU table evaluated at
     ``frequency``; pass explicit arrays to differentiate through them.
+    With ``with_diffraction=True``, first-order UTD edge diffraction
+    contributions are added coherently to the reflection paths (the
+    reference has no diffraction solver at all).
     """
     from .em import materials as itu_materials
 
@@ -180,12 +184,55 @@ def power_map(
         ])
 
     paths = scene.trace_paths(order=order, solver=solver, **solver_kwargs)
-    return received_power(
-        paths,
+    if not with_diffraction:
+        return received_power(
+            paths,
+            scene,
+            frequency,
+            eta_r=eta_r,
+            conductivity=conductivity,
+            thickness=thickness,
+            coherent=coherent,
+        )
+
+    from .rt._diffraction import diffraction_amplitudes
+
+    tx_batch = scene.transmitters.shape[:-1]
+    rx_batch = scene.receivers.shape[:-1]
+    num_tx = max(int(jnp.prod(jnp.array(tx_batch))), 1)
+    num_rx = max(int(jnp.prod(jnp.array(rx_batch))), 1)
+
+    a_spec = complex_amplitudes(
+        paths.reshape(num_tx, num_rx, -1),
         scene,
         frequency,
         eta_r=eta_r,
         conductivity=conductivity,
         thickness=thickness,
-        coherent=coherent,
     )
+
+    mesh = (
+        scene.mesh
+        if scene.mesh.assume_unique_vertices
+        else scene.mesh.dedup_vertices()
+    )
+    edges, adjacent, wedge_n = mesh._diffraction_edges_info()
+    diff_paths = scene.trace_diffraction_paths()
+    a_diff = diffraction_amplitudes(
+        diff_paths.reshape(num_tx, num_rx, -1),
+        scene,
+        frequency,
+        edges=edges,
+        adjacent_triangles=adjacent,
+        wedge_n=wedge_n,
+    )
+
+    if coherent:
+        total = a_spec.sum(axis=-1) + a_diff.sum(axis=-1)
+        power = jnp.abs(total) ** 2 / z_0
+    else:
+        power = (
+            jnp.sum(jnp.abs(a_spec) ** 2, axis=-1)
+            + jnp.sum(jnp.abs(a_diff) ** 2, axis=-1)
+        ) / z_0
+    return power.reshape(*tx_batch, *rx_batch)

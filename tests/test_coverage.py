@@ -110,3 +110,17 @@ def test_gradients_to_tx_position(canyon: Scene) -> None:
     g = jax.grad(total_power)(jnp.array([-20.0, 0.0, 5.0]))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_power_map_with_diffraction() -> None:
+    # Occluded receiver: diffraction fills the shadow that pure reflection
+    # paths leave empty.
+    mesh = Mesh.box(2.0, 6.0, 2.0, with_top=True).set_materials("Metal")
+    scene = Scene(
+        transmitters=jnp.array([-10.0, 0.0, 5.0]),
+        receivers=jnp.array([[10.0, 0.0, -4.0]]),
+        mesh=mesh,
+    )
+    without = power_map(scene, FREQUENCY, order=1)
+    with_d = power_map(scene, FREQUENCY, order=1, with_diffraction=True)
+    assert float(with_d.reshape(())) > float(without.reshape(()))
