@@ -1,0 +1,356 @@
+"""Fused Pallas trace megakernel: image method + validation in one kernel.
+
+The XLA trace pipeline (rt/_solvers.py::trace_path_candidates) runs the
+image method, four geometric validity checks, and the scene blockage test
+as separate fused-by-XLA ops over a ``[tx, rx, candidate]`` batch. This
+kernel collapses the whole per-candidate pipeline into a single Pallas
+program (SURVEY.md section 7, stage 4):
+
+- grid ``(num_tx, num_candidates, rx_tiles, tri_tiles)``;
+- at the first triangle tile, the candidate's mirror images are computed
+  *scalar* (they do not depend on RX), the backward intersection pass runs
+  vectorized over an RX tile, the geometric checks (inside-triangle,
+  same-side, segment-length, finiteness) are evaluated, and the path
+  vertices go straight to the output;
+- subsequent triangle tiles stream the mesh through VMEM for the blockage
+  (any-hit) test with per-RX accumulators resident in VMEM — the same
+  memory discipline as the standalone any-hit kernel, but with zero
+  intermediate HBM traffic between tracing and validation.
+
+Triangles-only (no quads), hard masks (no smoothing): the general cases
+fall back to the XLA pipeline, which is also the correctness oracle.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jaxtyping import Array, Bool, Float, Int
+
+from ._pallas_rt import _HAS_PLTPU, _interpret, _pad_to, _vmem_spec
+
+if _HAS_PLTPU:  # pragma: no cover
+    from jax.experimental.pallas import tpu as pltpu
+
+TILE_R = 256
+TILE_T = 512
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _trace_kernel(
+    tx_ref,       # [1, 4]            (x, y, z, pad)
+    rx_ref,       # [4, TILE_R]       rows x/y/z/pad
+    mirrors_ref,  # [1, k, 8]         per bounce: mv(3) n(3) pad(2)
+    tris_ref,     # [1, k, 12]        per bounce: v0(3) e1(3) e2(3) pad(3)
+    mesh_ref,     # [9, TILE_T]       v0/e1/e2 SoA
+    active_ref,   # [1, TILE_T]
+    verts_ref,    # [1, 3*(k+2), TILE_R] output, SoA over vertices
+    mask_ref,     # [1, TILE_R] bool output
+    seg_scratch,  # [6*(k+1), TILE_R] origins+dirs per segment
+    geom_scratch,  # [1, TILE_R] bool geometric validity
+    *,
+    order: int,
+    epsilon: float,
+    hit_tol: float,
+    min_len: float,
+):
+    k = order
+    t_idx = pl.program_id(3)
+
+    @pl.when(t_idx == 0)
+    def _geometry():
+        tx = [tx_ref[0, c] for c in range(3)]
+
+        # Forward pass: consecutive mirror images of TX — pure scalars.
+        images = []
+        img = tx
+        for b in range(k):
+            mv = [mirrors_ref[0, b, c] for c in range(3)]
+            n = [mirrors_ref[0, b, 3 + c] for c in range(3)]
+            d = (
+                (img[0] - mv[0]) * n[0]
+                + (img[1] - mv[1]) * n[1]
+                + (img[2] - mv[2]) * n[2]
+            )
+            img = [img[c] - 2.0 * d * n[c] for c in range(3)]
+            images.append(img)
+
+        rx = [rx_ref[c, :] for c in range(3)]  # [TILE_R] each
+
+        # Backward pass: intersect toward images, last mirror first.
+        points = [None] * k  # Each: list of 3 [TILE_R] arrays.
+        point = rx
+        invalid = jnp.zeros_like(rx[0], dtype=jnp.bool_)
+        for b in reversed(range(k)):
+            mv = [mirrors_ref[0, b, c] for c in range(3)]
+            n = [mirrors_ref[0, b, 3 + c] for c in range(3)]
+            img = images[b]
+            direction = [img[c] - point[c] for c in range(3)]
+            dn = _dot3(direction, n)
+            vn = (
+                (mv[0] - point[0]) * n[0]
+                + (mv[1] - point[1]) * n[1]
+                + (mv[2] - point[2]) * n[2]
+            )
+            parallel = dn == 0.0
+            tt = vn / jnp.where(parallel, 1.0, dn)
+            invalid = invalid | (parallel & (vn != 0.0))
+            point = [point[c] + direction[c] * tt for c in range(3)]
+            points[b] = point
+
+        # Assemble path vertices: tx, bounces..., rx (SoA rows).
+        for c in range(3):
+            verts_ref[0, 0, c, :] = jnp.broadcast_to(tx[c], rx[0].shape)
+        for b in range(k):
+            for c in range(3):
+                verts_ref[0, 0, 3 * (b + 1) + c, :] = points[b][c]
+        for c in range(3):
+            verts_ref[0, 0, 3 * (k + 1) + c, :] = rx[c]
+
+        # Segments (origin, direction) stored for the blockage phase.
+        chain = [[jnp.broadcast_to(tx[c], rx[0].shape) for c in range(3)]]
+        chain += points
+        chain += [rx]
+        seg_valid = jnp.ones_like(rx[0], dtype=jnp.bool_)
+        finite = jnp.logical_not(invalid)
+        for s in range(k + 1):
+            o = chain[s]
+            d = [chain[s + 1][c] - chain[s][c] for c in range(3)]
+            for c in range(3):
+                finite = finite & jnp.isfinite(o[c]) & jnp.isfinite(d[c])
+                seg_scratch[6 * s + c, :] = jnp.where(
+                    jnp.isfinite(o[c]), o[c], 0.0
+                )
+                seg_scratch[6 * s + 3 + c, :] = jnp.where(
+                    jnp.isfinite(d[c]), d[c], 0.0
+                )
+            seg_sq = _dot3(d, d)
+            seg_valid = seg_valid & jnp.logical_not(seg_sq < min_len)
+
+        # Inside-triangle checks: segment b against the candidate's
+        # triangle b (Moeller-Trumbore with the shared epsilon semantics).
+        inside = jnp.ones_like(rx[0], dtype=jnp.bool_)
+        for b in range(k):
+            v0 = [tris_ref[0, b, c] for c in range(3)]
+            e1 = [tris_ref[0, b, 3 + c] for c in range(3)]
+            e2 = [tris_ref[0, b, 6 + c] for c in range(3)]
+            o = chain[b]
+            d = [chain[b + 1][c] - chain[b][c] for c in range(3)]
+            h = [
+                d[1] * e2[2] - d[2] * e2[1],
+                d[2] * e2[0] - d[0] * e2[2],
+                d[0] * e2[1] - d[1] * e2[0],
+            ]
+            det = _dot3(h, e1)
+            inv = jnp.where(det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
+            s_vec = [o[c] - v0[c] for c in range(3)]
+            u = inv * _dot3(s_vec, h)
+            q = [
+                s_vec[1] * e1[2] - s_vec[2] * e1[1],
+                s_vec[2] * e1[0] - s_vec[0] * e1[2],
+                s_vec[0] * e1[1] - s_vec[1] * e1[0],
+            ]
+            v = inv * _dot3(q, d)
+            tt = inv * _dot3(q, e2)
+            inside = inside & (
+                (jnp.abs(det) > epsilon)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (tt > epsilon)
+            )
+
+        # Same-side check per mirror.
+        same_side = jnp.ones_like(rx[0], dtype=jnp.bool_)
+        for b in range(k):
+            mv = [mirrors_ref[0, b, c] for c in range(3)]
+            n = [mirrors_ref[0, b, 3 + c] for c in range(3)]
+            prev = chain[b]
+            nxt = chain[b + 2]
+            dot_prev = (
+                (prev[0] - mv[0]) * n[0]
+                + (prev[1] - mv[1]) * n[1]
+                + (prev[2] - mv[2]) * n[2]
+            )
+            dot_next = (
+                (nxt[0] - mv[0]) * n[0]
+                + (nxt[1] - mv[1]) * n[1]
+                + (nxt[2] - mv[2]) * n[2]
+            )
+            same_side = same_side & (jnp.sign(dot_prev) == jnp.sign(dot_next))
+
+        geom_scratch[0, :] = inside & same_side & seg_valid & finite
+        mask_ref[0, 0, :] = jnp.zeros_like(mask_ref[0, 0, :])
+
+    # Blockage phase: any-hit of every segment against this triangle tile.
+    # Runs for all tile indices (the mesh data at t_idx == 0 is the first
+    # tile). Accumulate "blocked" into mask_ref, finalize at the last tile.
+    @pl.when(jnp.logical_not(mask_ref[0, 0, :].all()))
+    def _blockage():
+        v0 = [mesh_ref[c, :].reshape(1, -1) for c in range(3)]
+        e1 = [mesh_ref[3 + c, :].reshape(1, -1) for c in range(3)]
+        e2 = [mesh_ref[6 + c, :].reshape(1, -1) for c in range(3)]
+        active = active_ref[0, :].reshape(1, -1) > 0
+        thresh = 1.0 - 2.0 * hit_tol
+
+        blocked = mask_ref[0, 0, :]
+        for s in range(k + 1):
+            o = [seg_scratch[6 * s + c, :].reshape(-1, 1) for c in range(3)]
+            d = [seg_scratch[6 * s + 3 + c, :].reshape(-1, 1) for c in range(3)]
+            # Offset the origin to dodge self-intersection at the segment
+            # start (same trick as the mesh-level any-hit).
+            o = [o[c] + d[c] * hit_tol for c in range(3)]
+            h = [
+                d[1] * e2[2] - d[2] * e2[1],
+                d[2] * e2[0] - d[0] * e2[2],
+                d[0] * e2[1] - d[1] * e2[0],
+            ]
+            det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
+            inv = jnp.where(det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
+            s_vec = [o[c] - v0[c] for c in range(3)]
+            u = inv * (s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2])
+            q = [
+                s_vec[1] * e1[2] - s_vec[2] * e1[1],
+                s_vec[2] * e1[0] - s_vec[0] * e1[2],
+                s_vec[0] * e1[1] - s_vec[1] * e1[0],
+            ]
+            v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
+            tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
+            hit = (
+                (jnp.abs(det) > epsilon)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (tt > epsilon)
+                & (tt < thresh)
+                & active
+            )
+            blocked = blocked | hit.any(axis=1)
+        mask_ref[0, 0, :] = blocked
+
+    @pl.when(t_idx == pl.num_programs(3) - 1)
+    def _finalize():
+        mask_ref[0, 0, :] = geom_scratch[0, :] & jnp.logical_not(mask_ref[0, 0, :])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "epsilon", "hit_tol", "min_len"),
+)
+def pallas_trace_specular(
+    tx_vertices: Float[Array, "num_tx 3"],
+    rx_vertices: Float[Array, "num_rx 3"],
+    mirror_vertices: Float[Array, "num_candidates order 3"],
+    mirror_normals: Float[Array, "num_candidates order 3"],
+    candidate_triangles: Float[Array, "num_candidates order 3 3"],
+    triangle_vertices: Float[Array, "num_triangles 3 3"],
+    active_triangles: Bool[Array, " num_triangles"] | None,
+    *,
+    order: int,
+    epsilon: float,
+    hit_tol: float,
+    min_len: float,
+) -> tuple[
+    Float[Array, "num_tx num_candidates num_rx order+2 3"],
+    Bool[Array, "num_tx num_candidates num_rx"],
+]:
+    """Run the fused trace kernel; returns (vertices, mask).
+
+    Axis order is ``[tx, candidate, rx]`` (transpose outside as needed).
+    """
+    num_tx = tx_vertices.shape[0]
+    num_rx = rx_vertices.shape[0]
+    num_cand = mirror_vertices.shape[0]
+    num_tris = triangle_vertices.shape[0]
+    k = order
+
+    rx_padded = pl.cdiv(max(num_rx, 1), TILE_R) * TILE_R
+    tris_padded = pl.cdiv(max(num_tris, 1), TILE_T) * TILE_T
+
+    tx_in = _pad_to(tx_vertices, 4, 1, 0.0)  # [num_tx, 4]
+    rx_in = _pad_to(rx_vertices.T, 4, 0, 0.0)  # [4, num_rx]
+    rx_in = _pad_to(rx_in, rx_padded, 1, 0.0)
+
+    mirrors = jnp.concatenate((mirror_vertices, mirror_normals), axis=-1)
+    mirrors = _pad_to(mirrors, 8, 2, 0.0)  # [C, k, 8]
+
+    ct = candidate_triangles
+    cand_tris = jnp.concatenate(
+        (
+            ct[..., 0, :],
+            ct[..., 1, :] - ct[..., 0, :],
+            ct[..., 2, :] - ct[..., 0, :],
+        ),
+        axis=-1,
+    )
+    cand_tris = _pad_to(cand_tris, 12, 2, 0.0)  # [C, k, 12]
+
+    v0 = triangle_vertices[:, 0, :]
+    e1 = triangle_vertices[:, 1, :] - v0
+    e2 = triangle_vertices[:, 2, :] - v0
+    mesh = jnp.concatenate((v0, e1, e2), axis=-1).T  # [9, T]
+    mesh = _pad_to(mesh, tris_padded, 1, 0.0)
+    if active_triangles is None:
+        active = jnp.ones((num_tris,), dtype=jnp.int32)
+    else:
+        active = active_triangles.astype(jnp.int32)
+    active = _pad_to(active.reshape(1, -1), tris_padded, 1, 0)
+
+    grid = (
+        num_tx,
+        num_cand,
+        rx_padded // TILE_R,
+        tris_padded // TILE_T,
+    )
+
+    kernel = functools.partial(
+        _trace_kernel,
+        order=k,
+        epsilon=epsilon,
+        hit_tol=hit_tol,
+        min_len=min_len,
+    )
+    scratch_shapes = [
+        pltpu.VMEM((6 * (k + 1), TILE_R), jnp.float32),
+        pltpu.VMEM((1, TILE_R), jnp.bool_),
+    ]
+
+    verts, mask = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (num_tx, num_cand, 3 * (k + 2), rx_padded), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((num_tx, num_cand, rx_padded), jnp.bool_),
+        ),
+        grid=grid,
+        in_specs=[
+            _vmem_spec((1, 4), lambda a, c, i, t: (a, 0)),
+            _vmem_spec((4, TILE_R), lambda a, c, i, t: (0, i)),
+            _vmem_spec((1, k, 8), lambda a, c, i, t: (c, 0, 0)),
+            _vmem_spec((1, k, 12), lambda a, c, i, t: (c, 0, 0)),
+            _vmem_spec((9, TILE_T), lambda a, c, i, t: (0, t)),
+            _vmem_spec((1, TILE_T), lambda a, c, i, t: (0, t)),
+        ],
+        out_specs=(
+            _vmem_spec(
+                (1, 1, 3 * (k + 2), TILE_R), lambda a, c, i, t: (a, c, 0, i)
+            ),
+            _vmem_spec((1, 1, TILE_R), lambda a, c, i, t: (a, c, i)),
+        ),
+        scratch_shapes=scratch_shapes,
+        interpret=_interpret(),
+    )(tx_in, rx_in, mirrors, cand_tris, mesh, active)
+
+    # [tx, cand, 3*(k+2), rx] -> [tx, cand, rx, k+2, 3]
+    verts = verts[..., :num_rx]
+    verts = verts.reshape(num_tx, num_cand, k + 2, 3, -1)
+    verts = jnp.moveaxis(verts, -1, 2)
+    mask = mask[..., :num_rx]
+    return verts, mask

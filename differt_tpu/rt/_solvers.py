@@ -260,6 +260,7 @@ def trace_path_candidates(
     smoothing_factor: Float[ArrayLike, ""] | None = None,
     confidence_threshold: Float[ArrayLike, ""] = 0.5,
     batch_size: int | None = 512,
+    megakernel: bool | None = None,
 ) -> TracedPaths:
     """Trace and validate exact specular paths for a batch of candidates.
 
@@ -267,10 +268,30 @@ def trace_path_candidates(
     mirrors -> image method -> five validity checks (inside-triangle,
     same-side-of-mirror, blocked-by-scene, too-short-segment, finiteness),
     each with a hard boolean or sigmoid-smoothed differentiable variant.
+
+    On TPU, the hard-mask triangle case dispatches to the fused Pallas
+    trace megakernel (``ops/_pallas_trace.py``) — identical results with
+    the whole pipeline in one kernel; ``megakernel=False`` forces the XLA
+    pipeline (``None`` = auto by backend).
     """
     if min_len is None:
         dtype = jnp.result_type(mesh.vertices, tx_vertices, rx_vertices)
         min_len = 10.0 * jnp.finfo(dtype).eps
+
+    # Static (Python float) copies of the tolerances for the Pallas
+    # megakernel: under jit even jnp constants are tracers, so capture
+    # before converting. A None marks a traced value (forces the XLA path).
+    def _static(x):
+        if x is None or isinstance(x, jax.core.Tracer):
+            return None
+        try:
+            return float(x)
+        except (TypeError, jax.errors.ConcretizationTypeError):
+            return None
+
+    epsilon_static = _static(epsilon)
+    hit_tol_static = _static(hit_tol)
+    min_len_static = _static(min_len)
     min_len = jnp.asarray(min_len)
 
     num_tx = tx_vertices.shape[0]
@@ -300,6 +321,54 @@ def trace_path_candidates(
     stride = 2 if mesh.assume_quads else 1
     mirror_vertices = triangle_vertices[..., ::stride, 0, :]
     mirror_normals = jnp.take(mesh.normals, path_candidates[..., ::stride], axis=0)
+
+    if megakernel is None:
+        from ..ops import get_backend
+
+        megakernel = (
+            get_backend() == "pallas"
+            and smoothing_factor is None
+            and not mesh.assume_quads
+            and order >= 1
+            and num_candidates > 0
+            and min_len_static is not None
+            and (epsilon is None or epsilon_static is not None)
+            and (hit_tol is None or hit_tol_static is not None)
+        )
+    if megakernel:
+        from ..ops._pallas_trace import pallas_trace_specular
+
+        f32_eps = float(jnp.finfo(jnp.float32).eps)
+        verts_mk, mask_mk = pallas_trace_specular(
+            tx_vertices,
+            rx_vertices,
+            mirror_vertices,
+            mirror_normals,
+            triangle_vertices,
+            mesh.triangle_vertices,
+            mesh.mask,
+            order=order,
+            epsilon=epsilon_static if epsilon_static is not None else 10.0 * f32_eps,
+            hit_tol=hit_tol_static if hit_tol_static is not None else 100.0 * f32_eps,
+            min_len=min_len_static,
+        )
+        # [tx, cand, rx, ...] -> [tx, rx, cand, ...]
+        full_paths = jnp.swapaxes(verts_mk, 1, 2)
+        mask = jnp.swapaxes(mask_mk, 1, 2)
+        if active_rays is not None:
+            mask = mask & active_rays
+        return _assemble_traced_paths(
+            full_paths,
+            mask,
+            path_candidates,
+            interaction_types,
+            k,
+            num_tx,
+            num_rx,
+            num_candidates,
+            order,
+            confidence_threshold,
+        )
 
     if num_candidates == 0:
         dtype = jnp.result_type(tx_vertices, rx_vertices, mesh.vertices)
@@ -406,6 +475,33 @@ def trace_path_candidates(
         if active_rays is not None:
             mask = mask & active_rays
 
+    return _assemble_traced_paths(
+        full_paths,
+        mask,
+        path_candidates,
+        interaction_types,
+        k,
+        num_tx,
+        num_rx,
+        num_candidates,
+        order,
+        confidence_threshold,
+    )
+
+
+def _assemble_traced_paths(
+    full_paths: Array,
+    mask: Array,
+    path_candidates: Array,
+    interaction_types: Array | None,
+    k: int,
+    num_tx: int,
+    num_rx: int,
+    num_candidates: int,
+    order: int,
+    confidence_threshold,
+) -> TracedPaths:
+    """Attach object indices and interaction types to traced geometry."""
     dtype = path_candidates.dtype
     tx_objects = jnp.broadcast_to(
         jnp.arange(num_tx, dtype=dtype)[:, None, None, None],

@@ -1,0 +1,80 @@
+"""Validate the fused trace megakernel against the XLA trace pipeline."""
+
+import chex
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differt_tpu.geometry import Mesh, Scene, generate_all_path_candidates
+from differt_tpu.ops._pallas_trace import pallas_trace_specular
+from differt_tpu.rt import trace_path_candidates
+
+
+def run_both(scene: Scene, order: int):
+    # The megakernel runs through the public trace entry point (forced on,
+    # interpret mode on CPU) against the XLA pipeline (forced off).
+    mesh = scene.mesh
+    tx = scene.transmitters.reshape(-1, 3)
+    rx = scene.receivers.reshape(-1, 3)
+    candidates = generate_all_path_candidates(mesh.num_primitives, order)
+    types = jnp.zeros_like(candidates, dtype=jnp.int32)
+
+    oracle = trace_path_candidates(
+        mesh, tx, rx, candidates, types, megakernel=False
+    )
+    fused = trace_path_candidates(
+        mesh, tx, rx, candidates, types, megakernel=True
+    )
+    return oracle, fused.vertices, fused.mask
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_matches_xla_pipeline(order: int) -> None:
+    mesh = Mesh.box(length=10.0, width=3.0, height=2.0, with_top=True)
+    scene = Scene(
+        transmitters=jnp.array([[-4.0, 0.0, 0.0]]),
+        receivers=jnp.array([[4.0, 0.0, 0.0], [3.0, 0.5, 0.3]]),
+        mesh=mesh,
+    )
+    oracle, verts, mask = run_both(scene, order)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(oracle.mask))
+    valid = np.asarray(oracle.mask)
+    chex.assert_trees_all_close(
+        jnp.asarray(np.asarray(verts)[valid]),
+        jnp.asarray(np.asarray(oracle.vertices)[valid]),
+        atol=1e-4,
+    )
+
+
+def test_matches_with_masked_mesh() -> None:
+    mesh = Mesh.box(length=10.0, width=3.0, height=2.0, with_top=True)
+    mask = jnp.ones(mesh.num_triangles, dtype=bool).at[:2].set(False)
+    scene = Scene(
+        transmitters=jnp.array([[-4.0, 0.0, 0.0]]),
+        receivers=jnp.array([[4.0, 0.0, 0.0]]),
+        mesh=mesh.set_mask(mask),
+    )
+    oracle, verts, mask_out = run_both(scene, 1)
+    np.testing.assert_array_equal(
+        np.asarray(mask_out), np.asarray(oracle.mask)
+    )
+
+
+def test_multi_tx_multi_rx_grid() -> None:
+    mesh = Mesh.box(length=20.0, width=8.0, height=6.0, with_top=True)
+    scene = Scene(
+        transmitters=jnp.array([[-6.0, 0.0, 0.0], [6.0, 1.0, 1.0]]),
+        receivers=jnp.array(
+            [[x, y, 0.0] for x in (-3.0, 0.0, 3.0) for y in (-1.0, 1.0)]
+        ),
+        mesh=mesh,
+    )
+    oracle, verts, mask = run_both(scene, 1)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(oracle.mask))
+    valid = np.asarray(oracle.mask)
+    assert valid.sum() > 0
+    chex.assert_trees_all_close(
+        jnp.asarray(np.asarray(verts)[valid]),
+        jnp.asarray(np.asarray(oracle.vertices)[valid]),
+        atol=1e-4,
+    )
