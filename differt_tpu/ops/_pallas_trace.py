@@ -33,8 +33,14 @@ from ._pallas_rt import _HAS_PLTPU, _interpret, _pad_to, _vmem_spec
 if _HAS_PLTPU:  # pragma: no cover
     from jax.experimental.pallas import tpu as pltpu
 
-TILE_R = 256
-TILE_T = 512
+
+def _smem_spec(block_shape, index_map):
+    if _HAS_PLTPU and not _interpret():
+        return pl.BlockSpec(block_shape, index_map, memory_space=pltpu.SMEM)
+    return pl.BlockSpec(block_shape, index_map)
+
+MAX_TILE_R = 1024
+MAX_TILE_T = 512
 
 
 def _dot3(a, b):
@@ -185,12 +191,12 @@ def _trace_kernel(
             same_side = same_side & (jnp.sign(dot_prev) == jnp.sign(dot_next))
 
         geom_scratch[0, :] = inside & same_side & seg_valid & finite
-        mask_ref[0, 0, :] = jnp.zeros_like(mask_ref[0, 0, :])
+        mask_ref[0, 0, 0, :] = jnp.zeros_like(mask_ref[0, 0, 0, :])
 
     # Blockage phase: any-hit of every segment against this triangle tile.
     # Runs for all tile indices (the mesh data at t_idx == 0 is the first
     # tile). Accumulate "blocked" into mask_ref, finalize at the last tile.
-    @pl.when(jnp.logical_not(mask_ref[0, 0, :].all()))
+    @pl.when(jnp.logical_not(mask_ref[0, 0, 0, :].all()))
     def _blockage():
         v0 = [mesh_ref[c, :].reshape(1, -1) for c in range(3)]
         e1 = [mesh_ref[3 + c, :].reshape(1, -1) for c in range(3)]
@@ -198,7 +204,7 @@ def _trace_kernel(
         active = active_ref[0, :].reshape(1, -1) > 0
         thresh = 1.0 - 2.0 * hit_tol
 
-        blocked = mask_ref[0, 0, :]
+        blocked = mask_ref[0, 0, 0, :]
         for s in range(k + 1):
             o = [seg_scratch[6 * s + c, :].reshape(-1, 1) for c in range(3)]
             d = [seg_scratch[6 * s + 3 + c, :].reshape(-1, 1) for c in range(3)]
@@ -232,11 +238,11 @@ def _trace_kernel(
                 & active
             )
             blocked = blocked | hit.any(axis=1)
-        mask_ref[0, 0, :] = blocked
+        mask_ref[0, 0, 0, :] = blocked
 
     @pl.when(t_idx == pl.num_programs(3) - 1)
     def _finalize():
-        mask_ref[0, 0, :] = geom_scratch[0, :] & jnp.logical_not(mask_ref[0, 0, :])
+        mask_ref[0, 0, 0, :] = geom_scratch[0, :] & jnp.logical_not(mask_ref[0, 0, 0, :])
 
 
 @functools.partial(
@@ -270,10 +276,17 @@ def pallas_trace_specular(
     num_tris = triangle_vertices.shape[0]
     k = order
 
-    rx_padded = pl.cdiv(max(num_rx, 1), TILE_R) * TILE_R
-    tris_padded = pl.cdiv(max(num_tris, 1), TILE_T) * TILE_T
+    # Adaptive tiles: no point padding a small mesh (or RX set) up to the
+    # maximum tile — wasted lanes dominate for small scenes.
+    tile_r = min(MAX_TILE_R, pl.cdiv(max(num_rx, 1), 256) * 256)
+    tile_t = min(MAX_TILE_T, pl.cdiv(max(num_tris, 1), 128) * 128)
+    rx_padded = pl.cdiv(max(num_rx, 1), tile_r) * tile_r
+    tris_padded = pl.cdiv(max(num_tris, 1), tile_t) * tile_t
 
-    tx_in = _pad_to(tx_vertices, 4, 1, 0.0)  # [num_tx, 4]
+    # Mosaic block rule: the last two block dims must divide (8, 128) or
+    # equal the full array dims — hence full-array TX (SoA), 4-row RX, and
+    # 8-row-padded outputs below.
+    tx_in = _pad_to(tx_vertices, 8, 1, 0.0)  # [num_tx, 8] (SMEM scalars)
     rx_in = _pad_to(rx_vertices.T, 4, 0, 0.0)  # [4, num_rx]
     rx_in = _pad_to(rx_in, rx_padded, 1, 0.0)
 
@@ -305,9 +318,10 @@ def pallas_trace_specular(
     grid = (
         num_tx,
         num_cand,
-        rx_padded // TILE_R,
-        tris_padded // TILE_T,
+        rx_padded // tile_r,
+        tris_padded // tile_t,
     )
+    vert_rows = -(-3 * (k + 2) // 8) * 8  # Rows padded to a multiple of 8.
 
     kernel = functools.partial(
         _trace_kernel,
@@ -317,40 +331,40 @@ def pallas_trace_specular(
         min_len=min_len,
     )
     scratch_shapes = [
-        pltpu.VMEM((6 * (k + 1), TILE_R), jnp.float32),
-        pltpu.VMEM((1, TILE_R), jnp.bool_),
+        pltpu.VMEM((6 * (k + 1), tile_r), jnp.float32),
+        pltpu.VMEM((1, tile_r), jnp.bool_),
     ]
 
     verts, mask = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct(
-                (num_tx, num_cand, 3 * (k + 2), rx_padded), jnp.float32
+                (num_tx, num_cand, vert_rows, rx_padded), jnp.float32
             ),
-            jax.ShapeDtypeStruct((num_tx, num_cand, rx_padded), jnp.bool_),
+            jax.ShapeDtypeStruct((num_tx, num_cand, 8, rx_padded), jnp.bool_),
         ),
         grid=grid,
         in_specs=[
-            _vmem_spec((1, 4), lambda a, c, i, t: (a, 0)),
-            _vmem_spec((4, TILE_R), lambda a, c, i, t: (0, i)),
-            _vmem_spec((1, k, 8), lambda a, c, i, t: (c, 0, 0)),
-            _vmem_spec((1, k, 12), lambda a, c, i, t: (c, 0, 0)),
-            _vmem_spec((9, TILE_T), lambda a, c, i, t: (0, t)),
-            _vmem_spec((1, TILE_T), lambda a, c, i, t: (0, t)),
+            _smem_spec((1, 8), lambda a, c, i, t: (a, 0)),
+            _vmem_spec((4, tile_r), lambda a, c, i, t: (0, i)),
+            _smem_spec((1, k, 8), lambda a, c, i, t: (c, 0, 0)),
+            _smem_spec((1, k, 12), lambda a, c, i, t: (c, 0, 0)),
+            _vmem_spec((9, tile_t), lambda a, c, i, t: (0, t)),
+            _vmem_spec((1, tile_t), lambda a, c, i, t: (0, t)),
         ],
         out_specs=(
             _vmem_spec(
-                (1, 1, 3 * (k + 2), TILE_R), lambda a, c, i, t: (a, c, 0, i)
+                (1, 1, vert_rows, tile_r), lambda a, c, i, t: (a, c, 0, i)
             ),
-            _vmem_spec((1, 1, TILE_R), lambda a, c, i, t: (a, c, i)),
+            _vmem_spec((1, 1, 8, tile_r), lambda a, c, i, t: (a, c, 0, i)),
         ),
         scratch_shapes=scratch_shapes,
         interpret=_interpret(),
     )(tx_in, rx_in, mirrors, cand_tris, mesh, active)
 
-    # [tx, cand, 3*(k+2), rx] -> [tx, cand, rx, k+2, 3]
-    verts = verts[..., :num_rx]
+    # [tx, cand, rows, rx] -> [tx, cand, rx, k+2, 3]
+    verts = verts[:, :, : 3 * (k + 2), :num_rx]
     verts = verts.reshape(num_tx, num_cand, k + 2, 3, -1)
     verts = jnp.moveaxis(verts, -1, 2)
-    mask = mask[..., :num_rx]
+    mask = mask[:, :, 0, :num_rx]
     return verts, mask
