@@ -210,16 +210,13 @@ def diffraction_coefficients(
         two_n * jnp.sqrt(2.0 * jnp.pi * k) * sin_beta_0
     )
 
-    d12 = d1 + d2
-    d34_soft = (
-        (-1.0 if r_n is None else jnp.asarray(r_n)) * d3
-        + (-1.0 if r_o is None else jnp.asarray(r_o)) * d4
-    )
-    d34_hard = (
-        (1.0 if r_n is None else jnp.asarray(r_n)) * d3
-        + (1.0 if r_o is None else jnp.asarray(r_o)) * d4
-    )
+    # Luebbers heuristic: per-face, per-polarization reflection
+    # coefficients multiply the reflection-boundary terms. ``r_o`` / ``r_n``
+    # are ``(r_s, r_p)`` pairs; None = PEC (r_s = -1, r_p = +1).
+    r_o_s, r_o_p = (-1.0, 1.0) if r_o is None else r_o
+    r_n_s, r_n_p = (-1.0, 1.0) if r_n is None else r_n
 
-    d_s = (d12 + d34_soft) * factor
-    d_h = (d12 + d34_hard) * factor
+    d12 = d1 + d2
+    d_s = (d12 + r_n_s * d3 + r_o_s * d4) * factor
+    d_h = (d12 + r_n_p * d3 + r_o_p * d4) * factor
     return d_s, d_h

@@ -208,20 +208,22 @@ def diffraction_amplitudes(
     """Complex channel amplitude of first-order diffraction paths (V-pol).
 
     Follows the UTD recipe: edge-fixed incident/diffracted frames
-    ``(beta0', phi')`` / ``(beta, phi)``, soft/hard coefficients applied as
-    ``diag(-D_s, -D_h)``, spherical-wave distance parameter
+    ``(beta0', phi')`` / ``(beta, phi)``, soft/hard coefficients applied in
+    the edge-fixed basis, spherical-wave distance parameter
     ``L = s_i s_d sin^2(beta_0) / (s_i + s_d)`` and spreading factor
-    ``sqrt(s_i / (s_d (s_i + s_d)))``. PEC faces by default (lossy faces
-    via the Luebbers heuristic are a planned refinement).
+    ``sqrt(s_i / (s_d (s_i + s_d)))``. With ``eta_r`` / ``conductivity``
+    given, lossy wedge faces use the Luebbers heuristic (per-face Fresnel
+    reflection coefficients at the grazing angles to the o- and n-faces);
+    otherwise faces are PEC.
     """
-    from ..em._constants import c
+    from ..em._constants import c, epsilon_0
+    from ..em._fresnel import reflection_coefficients
     from ..em._utd import diffraction_coefficients
     from ..em._utils import spherical_basis
 
     frequency = jnp.asarray(frequency)
     wavelength = c / frequency
     k_wave = 2.0 * jnp.pi / wavelength
-    del eta_r, conductivity  # PEC faces for now.
 
     vertices = paths.vertices
     tx = vertices[..., 0, :]
@@ -272,6 +274,30 @@ def diffraction_amplitudes(
     phi_d = azimuth(k_d)
 
     length = s_i * s_d * sin_beta_0 * sin_beta_0 / (s_i + s_d)
+
+    r_o = r_n = None
+    if eta_r is not None and conductivity is not None:
+        eta_r = jnp.asarray(eta_r)
+        conductivity = jnp.asarray(conductivity)
+        omega = 2.0 * jnp.pi * frequency
+        n_complex = jnp.sqrt(eta_r - 1j * conductivity / (omega * epsilon_0))
+        face_materials = scene.mesh.face_materials
+        if face_materials is None:
+            n_r_o = jnp.broadcast_to(n_complex[0], phi_i.shape)
+            n_r_n = n_r_o
+        else:
+            mat_o = jnp.take(face_materials, o_face.clip(min=0), axis=0)
+            mat_n = jnp.take(face_materials, n_face.clip(min=0), axis=0)
+            n_r_o = jnp.take(n_complex, mat_o.clip(min=0), axis=0)
+            n_r_n = jnp.take(n_complex, mat_n.clip(min=0), axis=0)
+        # Luebbers: o-face coefficient at the incident grazing angle phi',
+        # n-face at the diffracted grazing angle (n pi - phi). Fresnel
+        # expects cos from the normal = sin of the grazing angle.
+        r_o = reflection_coefficients(n_r_o, jnp.abs(jnp.sin(phi_i)))
+        r_n = reflection_coefficients(
+            n_r_n, jnp.abs(jnp.sin(n_param * jnp.pi - phi_d))
+        )
+
     d_s, d_h = diffraction_coefficients(
         k=k_wave,
         n=n_param,
@@ -279,6 +305,8 @@ def diffraction_amplitudes(
         phi_d=phi_d,
         sin_beta_0=sin_beta_0,
         length_i=length,
+        r_o=r_o,
+        r_n=r_n,
     )
 
     # Edge-fixed frames.

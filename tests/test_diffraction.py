@@ -203,3 +203,33 @@ class TestUTDField:
             wedge_n=wedge_n,
         )
         assert float(jnp.abs(a_los).max()) > 3.0 * float(jnp.abs(a_dif).max())
+
+
+class TestLuebbersLossyWedge:
+    def _amp(self, eta_r=None, sigma=None):
+        mesh = Mesh.box(2.0, 6.0, 2.0, with_top=True).set_materials("Metal")
+        scene = Scene(
+            transmitters=jnp.array([-10.0, 0.0, 5.0]),
+            receivers=jnp.array([10.0, 0.0, -4.0]),  # Deep shadow.
+            mesh=mesh,
+        )
+        edges, adj, wn = scene.mesh._diffraction_edges_info()
+        paths = scene.trace_diffraction_paths()
+        a = diffraction_amplitudes(
+            paths, scene, FREQUENCY,
+            edges=edges, adjacent_triangles=adj, wedge_n=wn,
+            eta_r=jnp.asarray(eta_r) if eta_r is not None else None,
+            conductivity=jnp.asarray(sigma) if sigma is not None else None,
+        )
+        return float(jnp.abs(jnp.asarray(a)).max())
+
+    def test_metal_matches_pec(self) -> None:
+        pec = self._amp()
+        metal = self._amp(eta_r=[1.0], sigma=[1e9])
+        assert metal == pytest.approx(pec, rel=0.05)
+
+    def test_lossy_differs_from_pec(self) -> None:
+        pec = self._amp()
+        lossy = self._amp(eta_r=[5.0], sigma=[0.05])
+        assert lossy != pytest.approx(pec, rel=1e-3)
+        assert np.isfinite(lossy)
