@@ -37,8 +37,9 @@ def _sync(x) -> float:
 
 
 def bench_coverage() -> dict:
+    # Triangle (non-quad) scene: the trace dispatches to the fused Pallas
+    # megakernel on TPU.
     scene = street_canyon_scene()
-    scene = scene.set_assume_quads() if scene.mesh.num_triangles % 2 == 0 else scene
     import differt_tpu.treekit as tk
 
     scene = tk.tree_at(

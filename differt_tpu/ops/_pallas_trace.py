@@ -6,16 +6,22 @@ as separate fused-by-XLA ops over a ``[tx, rx, candidate]`` batch. This
 kernel collapses the whole per-candidate pipeline into a single Pallas
 program (SURVEY.md section 7, stage 4):
 
-- grid ``(num_tx, num_candidates, rx_tiles, tri_tiles)``;
-- at the first triangle tile, the candidate's mirror images are computed
+- grid ``(num_tx, candidate_tiles, rx_tiles, tri_tiles)`` with
+  ``C_TILE`` candidates handled per grid step (amortizing per-step
+  overhead — measured ~35 us/step against ~6 us of VPU work per
+  candidate on v5e);
+- at the first triangle tile, each candidate's mirror images are computed
   *scalar* (they do not depend on RX), the backward intersection pass runs
   vectorized over an RX tile, the geometric checks (inside-triangle,
   same-side, segment-length, finiteness) are evaluated, and the path
   vertices go straight to the output;
 - subsequent triangle tiles stream the mesh through VMEM for the blockage
-  (any-hit) test with per-RX accumulators resident in VMEM — the same
-  memory discipline as the standalone any-hit kernel, but with zero
+  (any-hit) test with per-RX accumulators resident in VMEM — zero
   intermediate HBM traffic between tracing and validation.
+
+Per-candidate scalars (mirror vertices/normals, candidate triangles) ride
+in SMEM; coordinates use SoA layouts so the lane axis is the 128-wide
+RX/triangle axis.
 
 Triangles-only (no quads), hard masks (no smoothing): the general cases
 fall back to the XLA pipeline, which is also the correctness oracle.
@@ -26,7 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jaxtyping import Array, Bool, Float, Int
+from jaxtyping import Array, Bool, Float
 
 from ._pallas_rt import _HAS_PLTPU, _interpret, _pad_to, _vmem_spec
 
@@ -39,8 +45,10 @@ def _smem_spec(block_shape, index_map):
         return pl.BlockSpec(block_shape, index_map, memory_space=pltpu.SMEM)
     return pl.BlockSpec(block_shape, index_map)
 
+
 MAX_TILE_R = 1024
 MAX_TILE_T = 512
+C_TILE = 8
 
 
 def _dot3(a, b):
@@ -48,16 +56,16 @@ def _dot3(a, b):
 
 
 def _trace_kernel(
-    tx_ref,       # [1, 4]            (x, y, z, pad)
-    rx_ref,       # [4, TILE_R]       rows x/y/z/pad
-    mirrors_ref,  # [1, k, 8]         per bounce: mv(3) n(3) pad(2)
-    tris_ref,     # [1, k, 12]        per bounce: v0(3) e1(3) e2(3) pad(3)
-    mesh_ref,     # [9, TILE_T]       v0/e1/e2 SoA
-    active_ref,   # [1, TILE_T]
-    verts_ref,    # [1, 3*(k+2), TILE_R] output, SoA over vertices
-    mask_ref,     # [1, TILE_R] bool output
-    seg_scratch,  # [6*(k+1), TILE_R] origins+dirs per segment
-    geom_scratch,  # [1, TILE_R] bool geometric validity
+    tx_ref,       # SMEM [1, 8]               (x, y, z, pad...)
+    rx_ref,       # VMEM [4, tile_r]          rows x/y/z/pad
+    mirrors_ref,  # SMEM [C_TILE, k, 8]       per bounce: mv(3) n(3) pad(2)
+    tris_ref,     # SMEM [C_TILE, k, 12]      per bounce: v0(3) e1(3) e2(3) pad
+    mesh_ref,     # VMEM [9, tile_t]          v0/e1/e2 SoA
+    active_ref,   # VMEM [1, tile_t]
+    verts_ref,    # VMEM [1, C_TILE, rows, tile_r] output
+    mask_ref,     # VMEM [1, C_TILE, 8, tile_r] bool output (row 0 used)
+    seg_scratch,  # VMEM [C_TILE, 6*(k+1), tile_r]
+    geom_scratch,  # VMEM [C_TILE, tile_r] bool
     *,
     order: int,
     epsilon: float,
@@ -70,179 +78,204 @@ def _trace_kernel(
     @pl.when(t_idx == 0)
     def _geometry():
         tx = [tx_ref[0, c] for c in range(3)]
+        rx = [rx_ref[c, :] for c in range(3)]  # [tile_r] each
 
-        # Forward pass: consecutive mirror images of TX — pure scalars.
-        images = []
-        img = tx
-        for b in range(k):
-            mv = [mirrors_ref[0, b, c] for c in range(3)]
-            n = [mirrors_ref[0, b, 3 + c] for c in range(3)]
-            d = (
-                (img[0] - mv[0]) * n[0]
-                + (img[1] - mv[1]) * n[1]
-                + (img[2] - mv[2]) * n[2]
-            )
-            img = [img[c] - 2.0 * d * n[c] for c in range(3)]
-            images.append(img)
-
-        rx = [rx_ref[c, :] for c in range(3)]  # [TILE_R] each
-
-        # Backward pass: intersect toward images, last mirror first.
-        points = [None] * k  # Each: list of 3 [TILE_R] arrays.
-        point = rx
-        invalid = jnp.zeros_like(rx[0], dtype=jnp.bool_)
-        for b in reversed(range(k)):
-            mv = [mirrors_ref[0, b, c] for c in range(3)]
-            n = [mirrors_ref[0, b, 3 + c] for c in range(3)]
-            img = images[b]
-            direction = [img[c] - point[c] for c in range(3)]
-            dn = _dot3(direction, n)
-            vn = (
-                (mv[0] - point[0]) * n[0]
-                + (mv[1] - point[1]) * n[1]
-                + (mv[2] - point[2]) * n[2]
-            )
-            parallel = dn == 0.0
-            tt = vn / jnp.where(parallel, 1.0, dn)
-            invalid = invalid | (parallel & (vn != 0.0))
-            point = [point[c] + direction[c] * tt for c in range(3)]
-            points[b] = point
-
-        # Assemble path vertices: tx, bounces..., rx (SoA rows).
-        for c in range(3):
-            verts_ref[0, 0, c, :] = jnp.broadcast_to(tx[c], rx[0].shape)
-        for b in range(k):
-            for c in range(3):
-                verts_ref[0, 0, 3 * (b + 1) + c, :] = points[b][c]
-        for c in range(3):
-            verts_ref[0, 0, 3 * (k + 1) + c, :] = rx[c]
-
-        # Segments (origin, direction) stored for the blockage phase.
-        chain = [[jnp.broadcast_to(tx[c], rx[0].shape) for c in range(3)]]
-        chain += points
-        chain += [rx]
-        seg_valid = jnp.ones_like(rx[0], dtype=jnp.bool_)
-        finite = jnp.logical_not(invalid)
-        for s in range(k + 1):
-            o = chain[s]
-            d = [chain[s + 1][c] - chain[s][c] for c in range(3)]
-            for c in range(3):
-                finite = finite & jnp.isfinite(o[c]) & jnp.isfinite(d[c])
-                seg_scratch[6 * s + c, :] = jnp.where(
-                    jnp.isfinite(o[c]), o[c], 0.0
+        def _geometry_slot(slot, _):
+            # Forward pass: consecutive mirror images of TX — pure scalars.
+            images = []
+            img = tx
+            for b in range(k):
+                mv = [mirrors_ref[slot, b, c] for c in range(3)]
+                n = [mirrors_ref[slot, b, 3 + c] for c in range(3)]
+                d = (
+                    (img[0] - mv[0]) * n[0]
+                    + (img[1] - mv[1]) * n[1]
+                    + (img[2] - mv[2]) * n[2]
                 )
-                seg_scratch[6 * s + 3 + c, :] = jnp.where(
-                    jnp.isfinite(d[c]), d[c], 0.0
+                img = [img[c] - 2.0 * d * n[c] for c in range(3)]
+                images.append(img)
+
+            # Backward pass: intersect toward images, last mirror first.
+            points = [None] * k
+            point = rx
+            invalid = jnp.zeros_like(rx[0], dtype=jnp.bool_)
+            for b in reversed(range(k)):
+                mv = [mirrors_ref[slot, b, c] for c in range(3)]
+                n = [mirrors_ref[slot, b, 3 + c] for c in range(3)]
+                img = images[b]
+                direction = [img[c] - point[c] for c in range(3)]
+                dn = _dot3(direction, n)
+                vn = (
+                    (mv[0] - point[0]) * n[0]
+                    + (mv[1] - point[1]) * n[1]
+                    + (mv[2] - point[2]) * n[2]
                 )
-            seg_sq = _dot3(d, d)
-            seg_valid = seg_valid & jnp.logical_not(seg_sq < min_len)
+                parallel = dn == 0.0
+                tt = vn / jnp.where(parallel, 1.0, dn)
+                invalid = invalid | (parallel & (vn != 0.0))
+                point = [point[c] + direction[c] * tt for c in range(3)]
+                points[b] = point
 
-        # Inside-triangle checks: segment b against the candidate's
-        # triangle b (Moeller-Trumbore with the shared epsilon semantics).
-        inside = jnp.ones_like(rx[0], dtype=jnp.bool_)
-        for b in range(k):
-            v0 = [tris_ref[0, b, c] for c in range(3)]
-            e1 = [tris_ref[0, b, 3 + c] for c in range(3)]
-            e2 = [tris_ref[0, b, 6 + c] for c in range(3)]
-            o = chain[b]
-            d = [chain[b + 1][c] - chain[b][c] for c in range(3)]
-            h = [
-                d[1] * e2[2] - d[2] * e2[1],
-                d[2] * e2[0] - d[0] * e2[2],
-                d[0] * e2[1] - d[1] * e2[0],
-            ]
-            det = _dot3(h, e1)
-            inv = jnp.where(det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
-            s_vec = [o[c] - v0[c] for c in range(3)]
-            u = inv * _dot3(s_vec, h)
-            q = [
-                s_vec[1] * e1[2] - s_vec[2] * e1[1],
-                s_vec[2] * e1[0] - s_vec[0] * e1[2],
-                s_vec[0] * e1[1] - s_vec[1] * e1[0],
-            ]
-            v = inv * _dot3(q, d)
-            tt = inv * _dot3(q, e2)
-            inside = inside & (
-                (jnp.abs(det) > epsilon)
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (tt > epsilon)
-            )
+            # Path vertices: tx, bounces..., rx (SoA rows).
+            for c in range(3):
+                verts_ref[0, slot, c, :] = jnp.broadcast_to(tx[c], rx[0].shape)
+            for b in range(k):
+                for c in range(3):
+                    verts_ref[0, slot, 3 * (b + 1) + c, :] = points[b][c]
+            for c in range(3):
+                verts_ref[0, slot, 3 * (k + 1) + c, :] = rx[c]
 
-        # Same-side check per mirror.
-        same_side = jnp.ones_like(rx[0], dtype=jnp.bool_)
-        for b in range(k):
-            mv = [mirrors_ref[0, b, c] for c in range(3)]
-            n = [mirrors_ref[0, b, 3 + c] for c in range(3)]
-            prev = chain[b]
-            nxt = chain[b + 2]
-            dot_prev = (
-                (prev[0] - mv[0]) * n[0]
-                + (prev[1] - mv[1]) * n[1]
-                + (prev[2] - mv[2]) * n[2]
-            )
-            dot_next = (
-                (nxt[0] - mv[0]) * n[0]
-                + (nxt[1] - mv[1]) * n[1]
-                + (nxt[2] - mv[2]) * n[2]
-            )
-            same_side = same_side & (jnp.sign(dot_prev) == jnp.sign(dot_next))
+            # Segments for the blockage phase.
+            chain = [[jnp.broadcast_to(tx[c], rx[0].shape) for c in range(3)]]
+            chain += points
+            chain += [rx]
+            seg_valid = jnp.ones_like(rx[0], dtype=jnp.bool_)
+            finite = jnp.logical_not(invalid)
+            for s in range(k + 1):
+                o = chain[s]
+                d = [chain[s + 1][c] - chain[s][c] for c in range(3)]
+                for c in range(3):
+                    finite = finite & jnp.isfinite(o[c]) & jnp.isfinite(d[c])
+                    seg_scratch[slot, 6 * s + c, :] = jnp.where(
+                        jnp.isfinite(o[c]), o[c], 0.0
+                    )
+                    seg_scratch[slot, 6 * s + 3 + c, :] = jnp.where(
+                        jnp.isfinite(d[c]), d[c], 0.0
+                    )
+                seg_sq = _dot3(d, d)
+                seg_valid = seg_valid & jnp.logical_not(seg_sq < min_len)
 
-        geom_scratch[0, :] = inside & same_side & seg_valid & finite
-        mask_ref[0, 0, 0, :] = jnp.zeros_like(mask_ref[0, 0, 0, :])
+            # Inside-triangle checks: segment b vs candidate triangle b.
+            inside = jnp.ones_like(rx[0], dtype=jnp.bool_)
+            for b in range(k):
+                v0 = [tris_ref[slot, b, c] for c in range(3)]
+                e1 = [tris_ref[slot, b, 3 + c] for c in range(3)]
+                e2 = [tris_ref[slot, b, 6 + c] for c in range(3)]
+                o = chain[b]
+                d = [chain[b + 1][c] - chain[b][c] for c in range(3)]
+                h = [
+                    d[1] * e2[2] - d[2] * e2[1],
+                    d[2] * e2[0] - d[0] * e2[2],
+                    d[0] * e2[1] - d[1] * e2[0],
+                ]
+                det = _dot3(h, e1)
+                inv = jnp.where(
+                    det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det)
+                )
+                s_vec = [o[c] - v0[c] for c in range(3)]
+                u = inv * _dot3(s_vec, h)
+                q = [
+                    s_vec[1] * e1[2] - s_vec[2] * e1[1],
+                    s_vec[2] * e1[0] - s_vec[0] * e1[2],
+                    s_vec[0] * e1[1] - s_vec[1] * e1[0],
+                ]
+                v = inv * _dot3(q, d)
+                tt = inv * _dot3(q, e2)
+                inside = inside & (
+                    (jnp.abs(det) > epsilon)
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (tt > epsilon)
+                )
+
+            # Same-side check per mirror.
+            same_side = jnp.ones_like(rx[0], dtype=jnp.bool_)
+            for b in range(k):
+                mv = [mirrors_ref[slot, b, c] for c in range(3)]
+                n = [mirrors_ref[slot, b, 3 + c] for c in range(3)]
+                prev = chain[b]
+                nxt = chain[b + 2]
+                dot_prev = (
+                    (prev[0] - mv[0]) * n[0]
+                    + (prev[1] - mv[1]) * n[1]
+                    + (prev[2] - mv[2]) * n[2]
+                )
+                dot_next = (
+                    (nxt[0] - mv[0]) * n[0]
+                    + (nxt[1] - mv[1]) * n[1]
+                    + (nxt[2] - mv[2]) * n[2]
+                )
+                same_side = same_side & (
+                    jnp.sign(dot_prev) == jnp.sign(dot_next)
+                )
+
+            geom_scratch[slot, :] = inside & same_side & seg_valid & finite
+            mask_ref[0, slot, 0, :] = jnp.zeros_like(mask_ref[0, slot, 0, :])
+            return None
+
+        jax.lax.fori_loop(0, C_TILE, _geometry_slot, None)
 
     # Blockage phase: any-hit of every segment against this triangle tile.
-    # Runs for all tile indices (the mesh data at t_idx == 0 is the first
-    # tile). Accumulate "blocked" into mask_ref, finalize at the last tile.
-    @pl.when(jnp.logical_not(mask_ref[0, 0, 0, :].all()))
-    def _blockage():
-        v0 = [mesh_ref[c, :].reshape(1, -1) for c in range(3)]
-        e1 = [mesh_ref[3 + c, :].reshape(1, -1) for c in range(3)]
-        e2 = [mesh_ref[6 + c, :].reshape(1, -1) for c in range(3)]
-        active = active_ref[0, :].reshape(1, -1) > 0
-        thresh = 1.0 - 2.0 * hit_tol
+    v0 = [mesh_ref[c, :].reshape(1, -1) for c in range(3)]
+    e1 = [mesh_ref[3 + c, :].reshape(1, -1) for c in range(3)]
+    e2 = [mesh_ref[6 + c, :].reshape(1, -1) for c in range(3)]
+    active = active_ref[0, :].reshape(1, -1) > 0
+    thresh = 1.0 - 2.0 * hit_tol
 
-        blocked = mask_ref[0, 0, 0, :]
-        for s in range(k + 1):
-            o = [seg_scratch[6 * s + c, :].reshape(-1, 1) for c in range(3)]
-            d = [seg_scratch[6 * s + 3 + c, :].reshape(-1, 1) for c in range(3)]
-            # Offset the origin to dodge self-intersection at the segment
-            # start (same trick as the mesh-level any-hit).
-            o = [o[c] + d[c] * hit_tol for c in range(3)]
-            h = [
-                d[1] * e2[2] - d[2] * e2[1],
-                d[2] * e2[0] - d[0] * e2[2],
-                d[0] * e2[1] - d[1] * e2[0],
-            ]
-            det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
-            inv = jnp.where(det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
-            s_vec = [o[c] - v0[c] for c in range(3)]
-            u = inv * (s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2])
-            q = [
-                s_vec[1] * e1[2] - s_vec[2] * e1[1],
-                s_vec[2] * e1[0] - s_vec[0] * e1[2],
-                s_vec[0] * e1[1] - s_vec[1] * e1[0],
-            ]
-            v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
-            tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
-            hit = (
-                (jnp.abs(det) > epsilon)
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (tt > epsilon)
-                & (tt < thresh)
-                & active
-            )
-            blocked = blocked | hit.any(axis=1)
-        mask_ref[0, 0, 0, :] = blocked
+    def _blockage_slot(slot, _):
+        @pl.when(jnp.logical_not(mask_ref[0, slot, 0, :].all()))
+        def _blockage():
+            blocked = mask_ref[0, slot, 0, :]
+            for s in range(k + 1):
+                o = [
+                    seg_scratch[slot, 6 * s + c, :].reshape(-1, 1)
+                    for c in range(3)
+                ]
+                d = [
+                    seg_scratch[slot, 6 * s + 3 + c, :].reshape(-1, 1)
+                    for c in range(3)
+                ]
+                # Offset the origin to dodge self-intersection at the
+                # segment start (same trick as the mesh-level any-hit).
+                o = [o[c] + d[c] * hit_tol for c in range(3)]
+                h = [
+                    d[1] * e2[2] - d[2] * e2[1],
+                    d[2] * e2[0] - d[0] * e2[2],
+                    d[0] * e2[1] - d[1] * e2[0],
+                ]
+                det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
+                inv = jnp.where(
+                    det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det)
+                )
+                s_vec = [o[c] - v0[c] for c in range(3)]
+                u = inv * (
+                    s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2]
+                )
+                q = [
+                    s_vec[1] * e1[2] - s_vec[2] * e1[1],
+                    s_vec[2] * e1[0] - s_vec[0] * e1[2],
+                    s_vec[0] * e1[1] - s_vec[1] * e1[0],
+                ]
+                v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
+                tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
+                hit = (
+                    (jnp.abs(det) > epsilon)
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (tt > epsilon)
+                    & (tt < thresh)
+                    & active
+                )
+                blocked = blocked | hit.any(axis=1)
+            mask_ref[0, slot, 0, :] = blocked
+
+        return None
+
+    jax.lax.fori_loop(0, C_TILE, _blockage_slot, None)
 
     @pl.when(t_idx == pl.num_programs(3) - 1)
     def _finalize():
-        mask_ref[0, 0, 0, :] = geom_scratch[0, :] & jnp.logical_not(mask_ref[0, 0, 0, :])
+        def _finalize_slot(slot, _):
+            mask_ref[0, slot, 0, :] = geom_scratch[slot, :] & jnp.logical_not(
+                mask_ref[0, slot, 0, :]
+            )
+            return None
+
+        jax.lax.fori_loop(0, C_TILE, _finalize_slot, None)
 
 
 @functools.partial(
@@ -282,16 +315,18 @@ def pallas_trace_specular(
     tile_t = min(MAX_TILE_T, pl.cdiv(max(num_tris, 1), 128) * 128)
     rx_padded = pl.cdiv(max(num_rx, 1), tile_r) * tile_r
     tris_padded = pl.cdiv(max(num_tris, 1), tile_t) * tile_t
+    cand_padded = pl.cdiv(max(num_cand, 1), C_TILE) * C_TILE
 
     # Mosaic block rule: the last two block dims must divide (8, 128) or
-    # equal the full array dims — hence full-array TX (SoA), 4-row RX, and
-    # 8-row-padded outputs below.
+    # equal the full array dims — hence SMEM scalars, 4-row RX, and
+    # 8-row-padded outputs.
     tx_in = _pad_to(tx_vertices, 8, 1, 0.0)  # [num_tx, 8] (SMEM scalars)
     rx_in = _pad_to(rx_vertices.T, 4, 0, 0.0)  # [4, num_rx]
     rx_in = _pad_to(rx_in, rx_padded, 1, 0.0)
 
     mirrors = jnp.concatenate((mirror_vertices, mirror_normals), axis=-1)
     mirrors = _pad_to(mirrors, 8, 2, 0.0)  # [C, k, 8]
+    mirrors = _pad_to(mirrors, cand_padded, 0, 0.0)
 
     ct = candidate_triangles
     cand_tris = jnp.concatenate(
@@ -303,6 +338,7 @@ def pallas_trace_specular(
         axis=-1,
     )
     cand_tris = _pad_to(cand_tris, 12, 2, 0.0)  # [C, k, 12]
+    cand_tris = _pad_to(cand_tris, cand_padded, 0, 0.0)
 
     v0 = triangle_vertices[:, 0, :]
     e1 = triangle_vertices[:, 1, :] - v0
@@ -317,7 +353,7 @@ def pallas_trace_specular(
 
     grid = (
         num_tx,
-        num_cand,
+        cand_padded // C_TILE,
         rx_padded // tile_r,
         tris_padded // tile_t,
     )
@@ -331,40 +367,44 @@ def pallas_trace_specular(
         min_len=min_len,
     )
     scratch_shapes = [
-        pltpu.VMEM((6 * (k + 1), tile_r), jnp.float32),
-        pltpu.VMEM((1, tile_r), jnp.bool_),
+        pltpu.VMEM((C_TILE, 6 * (k + 1), tile_r), jnp.float32),
+        pltpu.VMEM((C_TILE, tile_r), jnp.bool_),
     ]
 
     verts, mask = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct(
-                (num_tx, num_cand, vert_rows, rx_padded), jnp.float32
+                (num_tx, cand_padded, vert_rows, rx_padded), jnp.float32
             ),
-            jax.ShapeDtypeStruct((num_tx, num_cand, 8, rx_padded), jnp.bool_),
+            jax.ShapeDtypeStruct(
+                (num_tx, cand_padded, 8, rx_padded), jnp.bool_
+            ),
         ),
         grid=grid,
         in_specs=[
             _smem_spec((1, 8), lambda a, c, i, t: (a, 0)),
             _vmem_spec((4, tile_r), lambda a, c, i, t: (0, i)),
-            _smem_spec((1, k, 8), lambda a, c, i, t: (c, 0, 0)),
-            _smem_spec((1, k, 12), lambda a, c, i, t: (c, 0, 0)),
+            _smem_spec((C_TILE, k, 8), lambda a, c, i, t: (c, 0, 0)),
+            _smem_spec((C_TILE, k, 12), lambda a, c, i, t: (c, 0, 0)),
             _vmem_spec((9, tile_t), lambda a, c, i, t: (0, t)),
             _vmem_spec((1, tile_t), lambda a, c, i, t: (0, t)),
         ],
         out_specs=(
             _vmem_spec(
-                (1, 1, vert_rows, tile_r), lambda a, c, i, t: (a, c, 0, i)
+                (1, C_TILE, vert_rows, tile_r), lambda a, c, i, t: (a, c, 0, i)
             ),
-            _vmem_spec((1, 1, 8, tile_r), lambda a, c, i, t: (a, c, 0, i)),
+            _vmem_spec(
+                (1, C_TILE, 8, tile_r), lambda a, c, i, t: (a, c, 0, i)
+            ),
         ),
         scratch_shapes=scratch_shapes,
         interpret=_interpret(),
     )(tx_in, rx_in, mirrors, cand_tris, mesh, active)
 
     # [tx, cand, rows, rx] -> [tx, cand, rx, k+2, 3]
-    verts = verts[:, :, : 3 * (k + 2), :num_rx]
+    verts = verts[:, :num_cand, : 3 * (k + 2), :num_rx]
     verts = verts.reshape(num_tx, num_cand, k + 2, 3, -1)
     verts = jnp.moveaxis(verts, -1, 2)
-    mask = mask[:, :, 0, :num_rx]
+    mask = mask[:, :num_cand, 0, :num_rx]
     return verts, mask
