@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jaxtyping import Array, ArrayLike, Complex, Float
 
-from .em import c, epsilon_0, spherical_basis, transition_matrix, z_0
+from .em import c, epsilon_0, spherical_basis, transition_apply, z_0
 from .geometry import Scene, TracedPaths, normalize
 from .utils import safe_divide
 
@@ -70,11 +70,13 @@ def complex_amplitudes(
     segments = jnp.diff(vertices, axis=-2)
     k, s = normalize(segments, keepdims=True)
 
-    theta_hat_0, _ = spherical_basis(k[..., 0, :])
-    e_field = jnp.stack(
-        (jnp.ones(theta_hat_0.shape[:-1]), jnp.zeros(theta_hat_0.shape[:-1])),
-        axis=-1,
-    ).astype(jnp.complex64)
+    # V-pol excitation: unit theta component, zero phi. Field components
+    # are carried as two scalar arrays (component-wise Jones chain) — on
+    # TPU, trailing [..., 2] / [..., 2, 2] axes tile to 128 lanes, a 64x
+    # memory expansion at coverage-map batch sizes.
+    batch = paths.mask.shape
+    e_theta = jnp.ones(batch, dtype=jnp.complex64)
+    e_phi = jnp.zeros(batch, dtype=jnp.complex64)
 
     order = paths.order
     if order > 0:
@@ -87,20 +89,21 @@ def complex_amplitudes(
         obj_normals = jnp.take(scene.mesh.normals, obj_indices, axis=0)
         n_r_val = jnp.take(n_complex, mat_indices, axis=0)
         thickness_val = jnp.take(thickness, mat_indices, axis=0)
-        j_total = transition_matrix(
+        e_theta, e_phi = transition_apply(
             vertices,
             obj_normals,
             n_r_val,
             thickness_val,
             wavelength,
+            e_theta,
+            e_phi,
             interaction_types=paths.interaction_types,
         )
-        e_field = jnp.matmul(j_total, e_field[..., None])[..., 0]
 
     theta_hat_last, _ = spherical_basis(k[..., -1, :])
     theta_hat_neg = spherical_basis(-k[..., -1, :])[0]
     u_coeff = jnp.sum(theta_hat_last * theta_hat_neg, axis=-1)
-    a = u_coeff * e_field[..., 0]
+    a = u_coeff * e_theta
 
     s_tot = s.sum(axis=-2)[..., 0]
     spreading = safe_divide(1.0, s_tot)

@@ -31,6 +31,7 @@ from ._utils import (
     sp_directions,
     sp_rotation_matrix,
     spherical_basis,
+    transition_apply,
     transition_matrix,
 )
 
@@ -64,6 +65,7 @@ __all__ = [
     "sp_directions",
     "sp_rotation_matrix",
     "spherical_basis",
+    "transition_apply",
     "transition_matrix",
     "z_0",
 ]

@@ -116,6 +116,86 @@ def spherical_basis(
 
 
 @jax.jit
+def transition_apply(
+    vertices: Float[ArrayLike, "*batch path_length 3"],
+    object_normals: Float[ArrayLike, "*batch path_length-2 3"],
+    n_r: Complex[ArrayLike, "*batch path_length-2"],
+    thickness: Float[ArrayLike, "*batch path_length-2"],
+    wavelength: Float[ArrayLike, ""],
+    e_theta: Complex[ArrayLike, " *batch"],
+    e_phi: Complex[ArrayLike, " *batch"],
+    interaction_types: Int[ArrayLike, "*batch path_length-2"] | None = None,
+) -> tuple[Complex[Array, " *batch"], Complex[Array, " *batch"]]:
+    """Apply the multi-bounce Jones chain to a field, component-wise.
+
+    Same physics as :func:`transition_matrix`, but the (theta, phi) field
+    components are carried as two scalar arrays and every 2x2 product is
+    expanded element-wise. On TPU this matters a lot: arrays with trailing
+    ``[..., 2, 2]`` dims are tiled to (2, 128) lanes — a 64x memory
+    expansion that OOMs large coverage batches — whereas this formulation
+    keeps every array at the batch shape.
+    """
+    vertices = jnp.asarray(vertices)
+    object_normals = jnp.asarray(object_normals)
+    n_r = jnp.asarray(n_r)
+    thickness = jnp.asarray(thickness)
+    e_theta = jnp.asarray(e_theta)
+    e_phi = jnp.asarray(e_phi)
+
+    order = vertices.shape[-2] - 2
+    if order == 0:
+        return e_theta, e_phi
+
+    segments = jnp.diff(vertices, axis=-2)
+    k, _ = normalize(segments)
+    theta_hat, phi_hat = spherical_basis(k)
+    k_in = k[..., :-1, :]
+    k_out = k[..., 1:, :]
+
+    (e_i_s, e_i_p), (e_r_s, e_r_p) = sp_directions(k_in, k_out, object_normals)
+    cos_theta_i = jnp.sum(object_normals * -k_in, axis=-1)
+    r_s, r_p = slab_reflection_coefficients(n_r, cos_theta_i, thickness, wavelength)
+
+    if interaction_types is not None:
+        is_reflection = jnp.asarray(interaction_types) == 0
+    else:
+        is_reflection = None
+
+    def dot(a, b):
+        return jnp.sum(a * b, axis=-1)
+
+    for b in range(order):
+        th_in = theta_hat[..., b, :]
+        ph_in = phi_hat[..., b, :]
+        th_out = theta_hat[..., b + 1, :]
+        ph_out = phi_hat[..., b + 1, :]
+
+        # (theta, phi) -> local (s, p).
+        i11 = dot(e_i_s[..., b, :], th_in)
+        i12 = dot(e_i_s[..., b, :], ph_in)
+        i21 = dot(e_i_p[..., b, :], th_in)
+        i22 = dot(e_i_p[..., b, :], ph_in)
+        f_s = r_s[..., b] * (i11 * e_theta + i12 * e_phi)
+        f_p = r_p[..., b] * (i21 * e_theta + i22 * e_phi)
+
+        # Local (s, p) -> next segment's (theta, phi).
+        o11 = dot(th_out, e_r_s[..., b, :])
+        o12 = dot(th_out, e_r_p[..., b, :])
+        o21 = dot(ph_out, e_r_s[..., b, :])
+        o22 = dot(ph_out, e_r_p[..., b, :])
+        new_theta = o11 * f_s + o12 * f_p
+        new_phi = o21 * f_s + o22 * f_p
+
+        if is_reflection is not None:
+            keep = is_reflection[..., b]
+            new_theta = jnp.where(keep, new_theta, e_theta)
+            new_phi = jnp.where(keep, new_phi, e_phi)
+        e_theta, e_phi = new_theta, new_phi
+
+    return e_theta, e_phi
+
+
+@jax.jit
 def transition_matrix(
     vertices: Float[ArrayLike, "*batch path_length 3"],
     object_normals: Float[ArrayLike, "*batch path_length-2 3"],

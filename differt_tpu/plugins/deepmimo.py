@@ -25,7 +25,7 @@ from ..em import (
     epsilon_0,
     materials,
     spherical_basis,
-    transition_matrix,
+    transition_apply,
     z_0,
 )
 from ..geometry import Scene, TracedPaths, cartesian_to_spherical, normalize
@@ -300,31 +300,19 @@ def export(
 
         theta_hat_0, phi_hat_0 = spherical_basis(k[..., 0, :])
 
+        # Field components carried as scalar (theta, phi) arrays; trailing
+        # [..., 2] axes are pathological on TPU (lane padding).
+        shape = theta_hat_0.shape[:-1]
         if tx_polarization == "V":
-            e_field = jnp.stack(
-                (
-                    jnp.ones(theta_hat_0.shape[:-1]),
-                    jnp.zeros(theta_hat_0.shape[:-1]),
-                ),
-                axis=-1,
-            ).astype(complex)
+            e_theta = jnp.ones(shape, dtype=complex)
+            e_phi = jnp.zeros(shape, dtype=complex)
         elif tx_polarization == "H":
-            e_field = jnp.stack(
-                (
-                    jnp.zeros(theta_hat_0.shape[:-1]),
-                    jnp.ones(theta_hat_0.shape[:-1]),
-                ),
-                axis=-1,
-            ).astype(complex)
+            e_theta = jnp.zeros(shape, dtype=complex)
+            e_phi = jnp.ones(shape, dtype=complex)
         else:
             p = jnp.asarray(tx_polarization, dtype=complex)
-            e_field = jnp.stack(
-                (
-                    jnp.sum(p * theta_hat_0, axis=-1),
-                    jnp.sum(p * phi_hat_0, axis=-1),
-                ),
-                axis=-1,
-            )
+            e_theta = jnp.sum(p * theta_hat_0, axis=-1)
+            e_phi = jnp.sum(p * phi_hat_0, axis=-1)
 
         if batch.order > 0:
             obj_indices = batch.objects[..., 1:-1]
@@ -333,35 +321,31 @@ def export(
             n_r_val = jnp.take(n_complex, mat_indices, axis=0)
             thickness_val = jnp.take(thickness, mat_indices, axis=0)
 
-            j_total = transition_matrix(
+            e_theta, e_phi = transition_apply(
                 batch.vertices,
                 obj_normals,
                 n_r_val,
                 thickness_val,
                 wavelength,
+                e_theta,
+                e_phi,
                 interaction_types=batch.interaction_types,
             )
-            e_field = jnp.matmul(j_total, e_field[..., None])[..., 0]
 
         theta_hat_last, phi_hat_last = spherical_basis(k[..., -1, :])
         if rx_polarization in ("V", "H"):
             theta_hat_neg = spherical_basis(-k[..., -1, :])[0]
             a_coeff = jnp.sum(theta_hat_last * theta_hat_neg, axis=-1)
             if rx_polarization == "V":
-                u = jnp.stack((a_coeff, jnp.zeros_like(a_coeff)), axis=-1)
+                a_r = a_coeff * e_theta
             else:
-                u = jnp.stack((jnp.zeros_like(a_coeff), -a_coeff), axis=-1)
+                a_r = -a_coeff * e_phi
         else:
             p = jnp.asarray(rx_polarization)
-            u = jnp.stack(
-                (
-                    jnp.sum(p * theta_hat_last, axis=-1),
-                    jnp.sum(p * phi_hat_last, axis=-1),
-                ),
-                axis=-1,
+            a_r = (
+                jnp.sum(p * theta_hat_last, axis=-1) * e_theta
+                + jnp.sum(p * phi_hat_last, axis=-1) * e_phi
             )
-
-        a_r = jnp.sum(u * e_field, axis=-1)
 
         s_tot = s.sum(axis=-2)
         spreading = safe_divide(1.0, s_tot)
