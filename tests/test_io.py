@@ -146,3 +146,19 @@ def test_scene_load_xml_api(sionna_dir) -> None:
 
     scene = Scene.load_xml(sionna_dir / "scene.xml")
     assert scene.mesh.num_triangles == 3
+
+
+def test_sionna_cli_list_and_path(tmp_path, monkeypatch, capsys) -> None:
+    # Pre-populate a fake cache and exercise the CLI offline.
+    scenes = tmp_path / "x" / "rt" / "scenes" / "demo"
+    scenes.mkdir(parents=True)
+    (scenes / "demo.xml").write_text("<scene version='2.1.0'></scene>")
+
+    from differt_tpu.io.__main__ import main
+
+    assert main(["list", "--folder", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "demo" in out
+    assert main(["path", "demo", "--folder", str(tmp_path)]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out.endswith("demo.xml")
