@@ -557,6 +557,8 @@ class ExhaustivePathTracer(AbstractPathTracer):
     """Whether to drop candidates touching masked-out primitives up front."""
     chunk_size: int | None = None
     """Default chunk size for chunked iteration."""
+    megakernel: bool | None = None
+    """Force the fused Pallas trace kernel on/off (None = auto on TPU)."""
 
     def generate_path_candidates(
         self,
@@ -651,6 +653,7 @@ class ExhaustivePathTracer(AbstractPathTracer):
             smoothing_factor=self.smoothing_factor,
             confidence_threshold=self.confidence_threshold,
             batch_size=self.batch_size,
+            megakernel=self.megakernel,
         )
 
 
@@ -678,6 +681,8 @@ class HybridPathTracer(AbstractPathTracer):
     """Triangle tile size for occlusion checks."""
     chunk_size: int | None = None
     """Default chunk size for chunked iteration."""
+    megakernel: bool | None = None
+    """Force the fused Pallas trace kernel on/off (None = auto on TPU)."""
 
     def _visibility(
         self, scene: "Scene"
@@ -767,6 +772,7 @@ class HybridPathTracer(AbstractPathTracer):
             smoothing_factor=self.smoothing_factor,
             confidence_threshold=self.confidence_threshold,
             batch_size=self.batch_size,
+            megakernel=self.megakernel,
         )
 
 
