@@ -7,7 +7,7 @@ Reference parity: ``differt.geometry.Scene``
 import dataclasses
 import math
 import warnings
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence  # noqa: F401 (Sequence: docstring types)
 from os import PathLike
 from typing import TYPE_CHECKING, Any, Literal
 
@@ -134,7 +134,7 @@ class Scene(eqx.Module):
 
     def trace_paths(
         self,
-        order: int | None = None,
+        order: "int | Sequence[int] | None" = None,
         *,
         solver: "AbstractPathTracer | Literal['exhaustive', 'hybrid']" = "exhaustive",
         path_candidates: Int[ArrayLike, "num_path_candidates order"] | None = None,
@@ -145,6 +145,10 @@ class Scene(eqx.Module):
         Reference parity: _scene.py:650-764 — including solver dispatch by
         string shortcut, chunked iteration, and user-supplied
         ``path_candidates`` bypass. Fully TPU-native (no Warp).
+
+        A sequence of orders yields one :class:`TracedPaths` per order (the
+        reference raises ``NotImplementedError`` for this, _scene.py:704-708);
+        the result plugs into :func:`differt_tpu.plugins.deepmimo.export`.
         """
         from ..rt._solvers import (
             ExhaustivePathTracer,
@@ -155,6 +159,25 @@ class Scene(eqx.Module):
         if (order is None) == (path_candidates is None):
             msg = "You must specify one of 'order' or `path_candidates`, not both."
             raise ValueError(msg)
+
+        if order is not None and not isinstance(order, int):
+            from ._paths import TracedPaths
+
+            orders = list(order)
+
+            def gen() -> Iterator:
+                for o in orders:
+                    result = self.trace_paths(o, solver=solver, **solver_kwargs)
+                    if isinstance(result, TracedPaths):
+                        yield result
+                    else:
+                        yield from result
+
+            if not solver_kwargs.get("chunk_size") and not getattr(
+                solver, "chunk_size", None
+            ):
+                return SizedIterator(gen(), size=len(orders))
+            return gen()
 
         if isinstance(solver, str):
             if solver == "exhaustive":

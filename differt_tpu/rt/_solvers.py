@@ -116,7 +116,29 @@ class AbstractPathTracer(AbstractPathSolver):
         chunk_size: int | None = None,
         pad_chunks: bool = False,
     ) -> TracedPaths | Iterator[TracedPaths]:
-        """Trace paths, optionally streaming candidate chunks."""
+        """Trace paths, optionally streaming candidate chunks.
+
+        With a sequence of orders, returns a :class:`SizedIterator` yielding
+        one :class:`TracedPaths` per order (consumable by, e.g.,
+        :func:`differt_tpu.plugins.deepmimo.export`). The reference raises
+        ``NotImplementedError`` for this case (_scene.py:704-708).
+        """
+        if isinstance(order, Sequence):
+            orders = list(order)
+
+            def gen() -> Iterator[TracedPaths]:
+                for o in orders:
+                    result = self.trace_paths(
+                        scene, o, chunk_size=chunk_size, pad_chunks=pad_chunks
+                    )
+                    if isinstance(result, TracedPaths):
+                        yield result
+                    else:
+                        yield from result
+
+            if chunk_size is None:
+                return SizedIterator(gen(), size=len(orders))
+            return gen()
         if chunk_size is not None:
             return (
                 self.trace_path_candidates(scene, cands, types)

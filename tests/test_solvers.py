@@ -175,3 +175,59 @@ def test_disconnect_inactive_triangles(corridor_scene: Scene) -> None:
         order=1, solver=ExhaustivePathTracer(disconnect_inactive_triangles=True)
     )
     assert paths.vertices.shape[-3] == corridor_scene.mesh.num_triangles - 2
+
+
+def test_multi_order_iterator(corridor_scene: Scene) -> None:
+    """A sequence of orders yields one TracedPaths per order.
+
+    (The reference raises NotImplementedError for this case,
+    _scene.py:704-708.)
+    """
+    it = corridor_scene.trace_paths(order=[0, 1, 2])
+    assert len(it) == 3
+    results = list(it)
+    singles = [corridor_scene.trace_paths(order=o) for o in (0, 1, 2)]
+    for got, want in zip(results, singles):
+        chex.assert_trees_all_close(got.vertices, want.vertices)
+        np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(want.mask))
+
+
+def test_multi_order_chunked(corridor_scene: Scene) -> None:
+    chunks = list(corridor_scene.trace_paths(order=[1, 2], chunk_size=4))
+    full = [corridor_scene.trace_paths(order=o) for o in (1, 2)]
+    total = sum(c.vertices.shape[-3] for c in chunks)
+    assert total == sum(f.vertices.shape[-3] for f in full)
+    # Per-order path-vertex counts differ, so group chunks by point count.
+    by_len: dict[int, list] = {}
+    for c in chunks:
+        by_len.setdefault(c.vertices.shape[-2], []).append(c)
+    for f in full:
+        got = jnp.concatenate(
+            [c.vertices for c in by_len[f.vertices.shape[-2]]], axis=-3
+        )
+        chex.assert_trees_all_close(got, f.vertices)
+
+
+def test_multi_order_solver_level(corridor_scene: Scene) -> None:
+    tracer = ExhaustivePathTracer()
+    it = tracer.trace_paths(corridor_scene, [0, 1])
+    assert len(it) == 2
+    got = list(it)
+    assert got[0].vertices.shape[-2] == 2
+    assert got[1].vertices.shape[-2] == 3
+
+
+def test_multi_order_deepmimo_export(corridor_scene: Scene) -> None:
+    from differt_tpu.plugins import deepmimo
+
+    scene = corridor_scene
+    scene = type(scene)(
+        transmitters=scene.transmitters.reshape(1, 3),
+        receivers=scene.receivers.reshape(1, 3),
+        mesh=scene.mesh.set_materials("Concrete"),
+    )
+    out = deepmimo.export(
+        paths=scene.trace_paths(order=[0, 1]), scene=scene, frequency=2.4e9
+    )
+    num = 1 + scene.mesh.num_primitives
+    assert out.power.shape == (1, 1, num)
