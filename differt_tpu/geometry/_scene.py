@@ -344,6 +344,18 @@ class Scene(eqx.Module):
 
         return DiffractionPathTracer(**solver_kwargs).trace_paths(self)
 
+    def trace_mixed_paths(self, interactions, **solver_kwargs: Any):
+        """Trace paths matching a mixed interaction-type signature.
+
+        ``interactions`` is a sequence of :class:`InteractionType` values,
+        e.g. ``(REFLECTION, DIFFRACTION)``. See
+        :class:`differt_tpu.rt.MixedPathTracer`. This extends the reference,
+        which has no mixed reflection/diffraction solver.
+        """
+        from ..rt._mixed import MixedPathTracer
+
+        return MixedPathTracer(**solver_kwargs).trace_paths(self, interactions)
+
     def compute_tx_mlm(
         self,
         *,

@@ -25,6 +25,12 @@ from ._fermat import (
     fermat_path_on_linear_objects,
     fermat_path_on_planar_mirrors,
 )
+from ._mixed import (
+    MixedPathTracer,
+    count_mixed_path_candidates,
+    generate_mixed_path_candidates,
+    mixed_amplitudes,
+)
 from ._mlm import compute_tx_mlm
 from ._scan import (
     first_triangle_hit_by_ray,
@@ -54,9 +60,13 @@ __all__ = [
     "diffraction_amplitudes",
     "diffraction_point_on_edge",
     "HybridPathTracer",
+    "MixedPathTracer",
     "SBRPathLauncher",
     "SizedIterator",
     "compute_tx_mlm",
+    "count_mixed_path_candidates",
+    "generate_mixed_path_candidates",
+    "mixed_amplitudes",
     "consecutive_vertices_are_on_same_side_of_mirror",
     "fermat_path_on_linear_objects",
     "fermat_path_on_planar_mirrors",
