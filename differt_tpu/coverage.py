@@ -159,6 +159,8 @@ def power_map(
     coherent: bool = True,
     solver: str = "exhaustive",
     with_diffraction: bool = False,
+    with_scattering: bool = False,
+    scattering_coefficient: Float[ArrayLike, " num_materials"] = 0.3,
     **solver_kwargs: Any,
 ) -> Float[Array, "*batch"]:
     """Coverage map: received power for every TX/RX pair in the scene.
@@ -167,7 +169,11 @@ def power_map(
     ``frequency``; pass explicit arrays to differentiate through them.
     With ``with_diffraction=True``, first-order UTD edge diffraction
     contributions are added coherently to the reflection paths (the
-    reference has no diffraction solver at all).
+    reference has no diffraction solver at all). With
+    ``with_scattering=True``, single-bounce diffuse scattering power
+    (Degli-Esposti effective roughness, Lambertian pattern) is added
+    incoherently — scattered phases are random in nature, so its power
+    adds regardless of ``coherent``.
     """
     from .em import materials as itu_materials
 
@@ -187,7 +193,7 @@ def power_map(
         ])
 
     paths = scene.trace_paths(order=order, solver=solver, **solver_kwargs)
-    if not with_diffraction:
+    if not with_diffraction and not with_scattering:
         return received_power(
             paths,
             scene,
@@ -197,8 +203,6 @@ def power_map(
             thickness=thickness,
             coherent=coherent,
         )
-
-    from .rt._diffraction import diffraction_amplitudes
 
     tx_batch = scene.transmitters.shape[:-1]
     rx_batch = scene.receivers.shape[:-1]
@@ -214,28 +218,49 @@ def power_map(
         thickness=thickness,
     )
 
-    mesh = (
-        scene.mesh
-        if scene.mesh.assume_unique_vertices
-        else scene.mesh.dedup_vertices()
-    )
-    edges, adjacent, wedge_n = mesh._diffraction_edges_info()
-    diff_paths = scene.trace_diffraction_paths()
-    a_diff = diffraction_amplitudes(
-        diff_paths.reshape(num_tx, num_rx, -1),
-        scene,
-        frequency,
-        edges=edges,
-        adjacent_triangles=adjacent,
-        wedge_n=wedge_n,
-    )
+    a_diff = None
+    if with_diffraction:
+        from .rt._diffraction import diffraction_amplitudes
+
+        mesh = (
+            scene.mesh
+            if scene.mesh.assume_unique_vertices
+            else scene.mesh.dedup_vertices()
+        )
+        edges, adjacent, wedge_n = mesh._diffraction_edges_info()
+        diff_paths = scene.trace_diffraction_paths()
+        a_diff = diffraction_amplitudes(
+            diff_paths.reshape(num_tx, num_rx, -1),
+            scene,
+            frequency,
+            edges=edges,
+            adjacent_triangles=adjacent,
+            wedge_n=wedge_n,
+        )
 
     if coherent:
-        total = a_spec.sum(axis=-1) + a_diff.sum(axis=-1)
+        total = a_spec.sum(axis=-1)
+        if a_diff is not None:
+            total = total + a_diff.sum(axis=-1)
         power = jnp.abs(total) ** 2 / z_0
     else:
-        power = (
-            jnp.sum(jnp.abs(a_spec) ** 2, axis=-1)
-            + jnp.sum(jnp.abs(a_diff) ** 2, axis=-1)
-        ) / z_0
+        power = jnp.sum(jnp.abs(a_spec) ** 2, axis=-1) / z_0
+        if a_diff is not None:
+            power = power + jnp.sum(jnp.abs(a_diff) ** 2, axis=-1) / z_0
+
+    if with_scattering:
+        from .rt._scattering import scattering_amplitudes
+
+        scatter_paths = scene.trace_scattering_paths()
+        a_scatter = scattering_amplitudes(
+            scatter_paths.reshape(num_tx, num_rx, -1),
+            scene,
+            frequency,
+            eta_r=eta_r,
+            conductivity=conductivity,
+            scattering_coefficient=scattering_coefficient,
+        )
+        # Scattered phases are random surface noise: power adds incoherently.
+        power = power + jnp.sum(jnp.abs(a_scatter) ** 2, axis=-1) / z_0
+
     return power.reshape(*tx_batch, *rx_batch)

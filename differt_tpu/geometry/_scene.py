@@ -356,6 +356,19 @@ class Scene(eqx.Module):
 
         return MixedPathTracer(**solver_kwargs).trace_paths(self, interactions)
 
+    def trace_scattering_paths(self, **solver_kwargs: Any):
+        """Trace single-bounce diffuse-scattering paths.
+
+        See :class:`differt_tpu.rt.ScatteringPathTracer`. The reference
+        accepts a ``diffuse_scattering`` flag but never implements it
+        (_solvers.py accepts and ignores it); here scattering is a
+        first-class solver + field model (Degli-Esposti effective
+        roughness).
+        """
+        from ..rt._scattering import ScatteringPathTracer
+
+        return ScatteringPathTracer(**solver_kwargs).trace_paths(self)
+
     def compute_tx_mlm(
         self,
         *,

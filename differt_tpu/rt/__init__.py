@@ -32,6 +32,11 @@ from ._mixed import (
     mixed_amplitudes,
 )
 from ._mlm import compute_tx_mlm
+from ._scattering import (
+    ScatteringPathTracer,
+    scattering_amplitudes,
+    triangle_sample_points,
+)
 from ._scan import (
     first_triangle_hit_by_ray,
     ray_intersect_any_triangle,
@@ -62,7 +67,10 @@ __all__ = [
     "HybridPathTracer",
     "MixedPathTracer",
     "SBRPathLauncher",
+    "ScatteringPathTracer",
     "SizedIterator",
+    "scattering_amplitudes",
+    "triangle_sample_points",
     "compute_tx_mlm",
     "count_mixed_path_candidates",
     "generate_mixed_path_candidates",
