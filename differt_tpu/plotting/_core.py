@@ -1,7 +1,7 @@
-"""Draw primitives for the plotly and matplotlib backends.
+"""Draw primitives for the vispy, plotly, and matplotlib backends.
 
 Reference parity: differt/src/differt/plotting/_core.py (7 primitives:
-mesh, paths, rays, markers, image, contour, surface).
+mesh, paths, rays, markers, image, contour, surface; all three backends).
 """
 
 from typing import Any
@@ -44,6 +44,10 @@ def draw_mesh(
     colors = (
         np.asarray(mesh.face_colors) if mesh.face_colors is not None else None
     )
+    if backend == "vispy":
+        from . import _vispy
+
+        return _vispy.draw_mesh(vertices, triangles, colors, **kwargs)
     if backend == "plotly":
         import plotly.graph_objects as go
 
@@ -82,6 +86,10 @@ def draw_paths(paths, *, backend: str | None = None, **kwargs: Any) -> PlotOutpu
     backend = get_backend(backend)
     kwargs = merged_kwargs(backend, kwargs)
     paths = np.asarray(paths).reshape(-1, np.asarray(paths).shape[-2], 3)
+    if backend == "vispy":
+        from . import _vispy
+
+        return _vispy.draw_paths(paths, **kwargs)
     if backend == "plotly":
         import plotly.graph_objects as go
 
@@ -127,6 +135,10 @@ def draw_markers(
     backend = get_backend(backend)
     kwargs = merged_kwargs(backend, kwargs)
     markers = np.asarray(markers).reshape(-1, 3)
+    if backend == "vispy":
+        from . import _vispy
+
+        return _vispy.draw_markers(markers, labels, **kwargs)
     if backend == "plotly":
         import plotly.graph_objects as go
 
@@ -162,6 +174,10 @@ def draw_image(
     backend = get_backend(backend)
     kwargs = merged_kwargs(backend, kwargs)
     data = np.asarray(data)
+    if backend == "vispy":
+        from . import _vispy
+
+        return _vispy.draw_image(data, x, y, **kwargs)
     if backend == "plotly":
         import plotly.graph_objects as go
 
@@ -192,6 +208,10 @@ def draw_contour(
     backend = get_backend(backend)
     kwargs = merged_kwargs(backend, kwargs)
     data = np.asarray(data)
+    if backend == "vispy":
+        from . import _vispy
+
+        return _vispy.draw_contour(data, x, y, kwargs.pop("levels", None), **kwargs)
     if backend == "plotly":
         import plotly.graph_objects as go
 
@@ -223,6 +243,10 @@ def draw_surface(
     backend = get_backend(backend)
     kwargs = merged_kwargs(backend, kwargs)
     x, y, z = np.asarray(x), np.asarray(y), np.asarray(z)
+    if backend == "vispy":
+        from . import _vispy
+
+        return _vispy.draw_surface(x, y, z, colors, **kwargs)
     if backend == "plotly":
         import plotly.graph_objects as go
 

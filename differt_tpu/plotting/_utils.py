@@ -1,7 +1,8 @@
 """Backend dispatch, defaults registry, and figure-reuse context.
 
-Reference parity: differt/src/differt/plotting/_utils.py (simplified to the
-two backends that make sense headless: plotly and matplotlib).
+Reference parity: differt/src/differt/plotting/_utils.py — all three
+backends (vispy / matplotlib / plotly); plotly or matplotlib is picked as
+the default since vispy needs a GPU canvas (rarely available headless).
 """
 
 import contextlib
@@ -11,7 +12,7 @@ from typing import Any
 PlotOutput = Any
 """A backend-specific figure object."""
 
-SUPPORTED_BACKENDS = ("plotly", "matplotlib")
+SUPPORTED_BACKENDS = ("vispy", "plotly", "matplotlib")
 
 
 def _pick_default_backend() -> str:

@@ -86,3 +86,44 @@ def test_mesh_scene_paths_plot_methods() -> None:
     assert fig is not None
     paths = scene.trace_paths(order=1)
     assert paths.plot() is not None
+
+
+class TestVispyBackend:
+    def test_vispy_is_a_supported_backend(self) -> None:
+        from differt_tpu.plotting import _utils
+
+        assert "vispy" in _utils.SUPPORTED_BACKENDS
+        # Selecting it never raises at resolution time.
+        assert _utils.get_backend("vispy") == "vispy"
+
+    def test_vispy_without_package_raises_import_error(self) -> None:
+        import importlib.util
+
+        import pytest as _pytest
+
+        from differt_tpu.plotting import draw_markers
+
+        if importlib.util.find_spec("vispy") is not None:
+            _pytest.skip("vispy installed; covered by test_vispy_draws")
+        with _pytest.raises(ImportError):
+            draw_markers([[0.0, 0.0, 0.0]], backend="vispy")
+
+    def test_vispy_draws(self) -> None:
+        import pytest as _pytest
+
+        _pytest.importorskip("vispy")
+        import numpy as np
+
+        from differt_tpu.geometry import Mesh
+        from differt_tpu.plotting import (
+            draw_markers,
+            draw_mesh,
+            draw_paths,
+            reuse,
+        )
+
+        with reuse(backend="vispy") as canvas:
+            draw_mesh(Mesh.box(1.0, 1.0, 1.0))
+            draw_paths(np.zeros((2, 3, 3)))
+            draw_markers(np.zeros((1, 3)), labels=["tx"])
+        assert canvas is not None
