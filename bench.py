@@ -51,23 +51,39 @@ def bench_coverage() -> dict:
     eta_r = jnp.array([5.24])
     conductivity = jnp.array([0.1])
 
-    def run(megakernel=None):
+    def run(megakernel=None, eta=eta_r):
         paths = scene.trace_paths(order=ORDER, megakernel=megakernel)
         return received_power(
-            paths, scene, FREQUENCY, eta_r=eta_r, conductivity=conductivity
+            paths, scene, FREQUENCY, eta_r=eta, conductivity=conductivity
         )
 
     try:
         _sync(run())
+        megakernel = None
     except Exception:  # noqa: BLE001 - the benchmark must always report.
         # Megakernel compile issue on this toolchain: XLA fallback.
-        run = functools.partial(run, megakernel=False)
-        _sync(run())
+        megakernel = False
+        _sync(run(megakernel))
+
+    # Steady-state throughput: queue REPEAT async iterations (distinct
+    # inputs, so nothing collapses to a cached value) and fetch once — the
+    # host-fetch round trip (tens of ms through the device tunnel) is
+    # amortized instead of being billed to every map.
+    REPEAT = 8
+
+    def run_many():
+        total = None
+        for i in range(REPEAT):
+            out = run(megakernel, eta_r + 1e-6 * i)
+            total = out if total is None else total + out
+        return total
+
+    _sync(run_many())
     best = float("inf")
     for _ in range(3):
         start = time.perf_counter()
-        _sync(run())
-        best = min(best, time.perf_counter() - start)
+        _sync(run_many())
+        best = min(best, (time.perf_counter() - start) / REPEAT)
 
     num_candidates = count_path_candidates(scene.mesh.num_primitives, ORDER)
     num_rx = scene.num_receivers
@@ -87,24 +103,33 @@ def bench_raycast() -> dict:
     origins = jnp.broadcast_to(jnp.array([0.0, 0.0, 30.0]), (NUM_RAYS, 3))
     directions = fibonacci_lattice(NUM_RAYS) * 500.0
 
+    REPEAT = 4
+
     def timed(fn) -> float:
-        _sync(fn()[1])
+        """Steady-state per-call time: REPEAT queued calls, one fetch."""
+        _sync(fn(0)[1])
         best = float("inf")
         for _ in range(3):
             start = time.perf_counter()
-            _sync(fn()[1])
-            best = min(best, time.perf_counter() - start)
+            total = None
+            for i in range(REPEAT):
+                t = fn(i)[1]
+                total = t if total is None else total + t
+            _sync(total)
+            best = min(best, (time.perf_counter() - start) / REPEAT)
         return best
 
     t_pallas = timed(
-        lambda: pallas_first_triangle_hit_by_ray(origins, directions, tv)
+        lambda i: pallas_first_triangle_hit_by_ray(
+            origins + 1e-4 * i, directions, tv
+        )
     )
     # batch_size=256 keeps the XLA path's [num_rays, tile] temporaries
     # within HBM at 1M rays (bigger tiles OOM the 16G chip).
     jitted = jax.jit(
         lambda o, d, t: first_triangle_hit_by_ray(o, d, t, batch_size=256)
     )
-    t_xla = timed(lambda: jitted(origins, directions, tv))
+    t_xla = timed(lambda i: jitted(origins + 1e-4 * i, directions, tv))
     return {
         "num_triangles": num_triangles,
         "rays_per_s_pallas": NUM_RAYS / t_pallas,

@@ -17,9 +17,98 @@ import jax
 import jax.numpy as jnp
 from jaxtyping import Array, ArrayLike, Complex, Float
 
-from .em import c, epsilon_0, spherical_basis, transition_apply, z_0
-from .geometry import Scene, TracedPaths, normalize
+from .em import c, epsilon_0, z_0
+from .em._fresnel import slab_reflection_coefficients
+from .geometry import Scene, TracedPaths
 from .utils import safe_divide
+
+# --- Component-wise (structure-of-arrays) 3-vector helpers. -----------------
+#
+# On TPU, arrays with trailing [path_len, 3] / [..., 3] axes are tiled to
+# (8, 128) blocks per tiny slice — up to an ~85x memory blowup at
+# coverage-map batch sizes, which makes the EM chain HBM-bound instead of
+# compute-bound. Every vector below is therefore a plain (x, y, z) tuple of
+# batch-shaped arrays, so all intermediates tile perfectly.
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _normalize3(a):
+    """Zero-safe normalize (parity with geometry.normalize)."""
+    n = jnp.sqrt(_dot3(a, a))
+    safe = jnp.where(n == 0.0, 1.0, n)
+    return tuple(comp / safe for comp in a), n
+
+
+def _spherical3(k):
+    """Component-wise spherical_basis (same values as em.spherical_basis)."""
+    x, y, z = k
+    s_sq = x * x + y * y
+    degenerate = s_sq < 1e-12
+    s = jnp.sqrt(jnp.where(degenerate, 1.0, s_sq))
+    cos_p = jnp.where(degenerate, 1.0, x / s)
+    sin_p = jnp.where(degenerate, 0.0, y / s)
+    s_out = jnp.where(degenerate, 0.0, s)
+    zeros = jnp.zeros_like(s)
+    theta_hat = (z * cos_p, z * sin_p, -s_out)
+    phi_hat = (-sin_p, cos_p, zeros)
+    return theta_hat, phi_hat
+
+
+def _perpendicular3(u):
+    """Component-wise perpendicular_vector (same branch rule)."""
+    ux, uy, uz = u
+    zeros = jnp.zeros_like(ux)
+    pick_a = jnp.abs(ux) > jnp.abs(uy)
+    cand = (
+        jnp.where(pick_a, -uy, zeros),
+        jnp.where(pick_a, ux, -uz),
+        jnp.where(pick_a, zeros, uy),
+    )
+    return _normalize3(_cross3(u, cand))[0]
+
+
+def _sp_directions3(k_i, k_r, normal):
+    """Component-wise sp_directions (same normal-incidence fallback)."""
+    e_i_s, norm = _normalize3(_cross3(k_i, normal))
+    perp = _perpendicular3(k_i)
+    degenerate = norm == 0.0
+    e_i_s = tuple(jnp.where(degenerate, p, e) for p, e in zip(perp, e_i_s))
+    e_i_p = _normalize3(_cross3(e_i_s, k_i))[0]
+    e_r_p = _normalize3(_cross3(e_i_s, k_r))[0]
+    return (e_i_s, e_i_p), (e_i_s, e_r_p)
+
+
+_ONEHOT_GATHER_MAX_ROWS = 4096
+
+
+def _gather_columns(table, idx):
+    """Row-gather from a small ``[T, C]`` table, returned as C batch arrays.
+
+    On TPU, native gathers with multi-million-element index arrays are
+    dramatically slower than a one-hot x table matmul on the MXU (measured
+    ~50x on coverage-map batches), so small tables take the matmul path;
+    large tables fall back to ``jnp.take``. Output layout is ``[C, *batch]``
+    — component arrays in the clean batch tiling.
+    """
+    num_rows, num_cols = table.shape
+    if num_rows <= _ONEHOT_GATHER_MAX_ROWS and jax.default_backend() == "tpu":
+        onehot = (idx[..., None] == jnp.arange(num_rows, dtype=idx.dtype)).astype(
+            table.dtype
+        )
+        return jnp.einsum("...t,tc->c...", onehot, table)
+    out = jnp.take(table, idx, axis=0)
+    return jnp.moveaxis(out, -1, 0)
 
 
 @eqx.filter_jit
@@ -42,6 +131,11 @@ def complex_amplitudes(
 
     Material parameters are explicit arrays (not a table lookup) so they
     can be optimization variables.
+
+    The whole pipeline is computed structure-of-arrays (every 3-vector is a
+    tuple of batch-shaped components): on TPU this removes the trailing
+    ``[path_len, 3]`` axes whose (8, 128) tiling would otherwise blow
+    memory traffic up ~85x and make the chain HBM-bound.
     """
     frequency = jnp.asarray(frequency)
     eta_r = jnp.asarray(eta_r)
@@ -63,49 +157,98 @@ def complex_amplitudes(
         if paths.mask.dtype == jnp.bool_
         else paths.mask >= paths.confidence_threshold
     )
-    path_length = paths.vertices.shape[-2]
-    dummy = jnp.zeros((path_length, 3)).at[:, 0].set(jnp.arange(path_length, dtype=paths.vertices.dtype))
-    vertices = jnp.where(valid[..., None, None], paths.vertices, dummy)
+    num_points = paths.vertices.shape[-2]
+    order = paths.order
 
-    segments = jnp.diff(vertices, axis=-2)
-    k, s = normalize(segments, keepdims=True)
+    # Re-layout once ([*batch, L, 3] -> [L, 3, *batch]) so the (L, 3) axes
+    # leave the tiled trailing positions in a single pass, then unpack into
+    # per-(point, axis) batch-shaped components.
+    v_soa = jnp.moveaxis(paths.vertices, (-2, -1), (0, 1))
+    pts = [
+        [
+            jnp.where(valid, v_soa[l, axis], float(l) if axis == 0 else 0.0)
+            for axis in range(3)
+        ]
+        for l in range(num_points)
+    ]
 
-    # V-pol excitation: unit theta component, zero phi. Field components
-    # are carried as two scalar arrays (component-wise Jones chain) — on
-    # TPU, trailing [..., 2] / [..., 2, 2] axes tile to 128 lanes, a 64x
-    # memory expansion at coverage-map batch sizes.
+    k_hats = []
+    s_lens = []
+    for i in range(num_points - 1):
+        seg = tuple(pts[i + 1][axis] - pts[i][axis] for axis in range(3))
+        k_hat, s_len = _normalize3(seg)
+        k_hats.append(k_hat)
+        s_lens.append(s_len)
+
     batch = paths.mask.shape
     e_theta = jnp.ones(batch, dtype=jnp.complex64)
     e_phi = jnp.zeros(batch, dtype=jnp.complex64)
 
-    order = paths.order
     if order > 0:
-        obj_indices = paths.objects[..., 1:-1]
         face_materials = scene.mesh.face_materials
+        normals_t = scene.mesh.normals
+        is_reflection = paths.interaction_types == 0
+
+        # One [num_triangles, 6] table: normal xyz + per-face complex
+        # refractive index (re, im) + thickness. A single one-hot matmul per
+        # bounce replaces six multi-million-element gathers.
         if face_materials is None:
-            mat_indices = jnp.zeros_like(obj_indices)
+            n_r_tri = jnp.broadcast_to(n_complex[0], (normals_t.shape[0],))
+            thick_tri = jnp.broadcast_to(thickness[0], (normals_t.shape[0],))
         else:
-            mat_indices = jnp.take(face_materials, obj_indices, axis=0)
-        obj_normals = jnp.take(scene.mesh.normals, obj_indices, axis=0)
-        n_r_val = jnp.take(n_complex, mat_indices, axis=0)
-        thickness_val = jnp.take(thickness, mat_indices, axis=0)
-        e_theta, e_phi = transition_apply(
-            vertices,
-            obj_normals,
-            n_r_val,
-            thickness_val,
-            wavelength,
-            e_theta,
-            e_phi,
-            interaction_types=paths.interaction_types,
+            n_r_tri = jnp.take(n_complex, face_materials, axis=0)
+            thick_tri = jnp.take(thickness, face_materials, axis=0)
+        table = jnp.concatenate(
+            (
+                normals_t.astype(jnp.float32),
+                jnp.real(n_r_tri)[:, None],
+                jnp.imag(n_r_tri)[:, None],
+                thick_tri[:, None].astype(jnp.float32),
+            ),
+            axis=-1,
         )
 
-    theta_hat_last, _ = spherical_basis(k[..., -1, :])
-    theta_hat_neg = spherical_basis(-k[..., -1, :])[0]
-    u_coeff = jnp.sum(theta_hat_last * theta_hat_neg, axis=-1)
+        for b in range(order):
+            obj = paths.objects[..., b + 1]
+            cols = _gather_columns(table, obj)
+            normal = (cols[0], cols[1], cols[2])
+            n_r_val = jax.lax.complex(cols[3], cols[4])
+            thickness_val = cols[5]
+
+            k_in = k_hats[b]
+            k_out = k_hats[b + 1]
+            th_in, ph_in = _spherical3(k_in)
+            th_out, ph_out = _spherical3(k_out)
+
+            (e_i_s, e_i_p), (e_r_s, e_r_p) = _sp_directions3(k_in, k_out, normal)
+            cos_theta_i = -_dot3(normal, k_in)
+            r_s, r_p = slab_reflection_coefficients(
+                n_r_val, cos_theta_i, thickness_val, wavelength
+            )
+
+            # (theta, phi) -> local (s, p), scale, -> next (theta, phi).
+            f_s = r_s * (
+                _dot3(e_i_s, th_in) * e_theta + _dot3(e_i_s, ph_in) * e_phi
+            )
+            f_p = r_p * (
+                _dot3(e_i_p, th_in) * e_theta + _dot3(e_i_p, ph_in) * e_phi
+            )
+            new_theta = _dot3(th_out, e_r_s) * f_s + _dot3(th_out, e_r_p) * f_p
+            new_phi = _dot3(ph_out, e_r_s) * f_s + _dot3(ph_out, e_r_p) * f_p
+
+            keep = is_reflection[..., b]
+            e_theta = jnp.where(keep, new_theta, e_theta)
+            e_phi = jnp.where(keep, new_phi, e_phi)
+
+    k_last = k_hats[-1]
+    theta_hat_last, _ = _spherical3(k_last)
+    theta_hat_neg = _spherical3(tuple(-comp for comp in k_last))[0]
+    u_coeff = _dot3(theta_hat_last, theta_hat_neg)
     a = u_coeff * e_theta
 
-    s_tot = s.sum(axis=-2)[..., 0]
+    s_tot = s_lens[0]
+    for s_len in s_lens[1:]:
+        s_tot = s_tot + s_len
     spreading = safe_divide(1.0, s_tot)
     phase_val = -2.0 * jnp.pi * frequency * s_tot / c
     a = a * spreading * jax.lax.complex(jnp.cos(phase_val), jnp.sin(phase_val))
