@@ -49,6 +49,7 @@ def _smem_spec(block_shape, index_map):
 MAX_TILE_R = 1024
 MAX_TILE_T = 512
 C_TILE = 8
+T_SUB = 64  # Triangle sublane-chunk size in the blockage phase.
 
 
 def _dot3(a, b):
@@ -208,59 +209,68 @@ def _trace_kernel(
         jax.lax.fori_loop(0, C_TILE, _geometry_slot, None)
 
     # Blockage phase: any-hit of every segment against this triangle tile.
-    v0 = [mesh_ref[c, :].reshape(1, -1) for c in range(3)]
-    e1 = [mesh_ref[3 + c, :].reshape(1, -1) for c in range(3)]
-    e2 = [mesh_ref[6 + c, :].reshape(1, -1) for c in range(3)]
-    active = active_ref[0, :].reshape(1, -1) > 0
+    # Orientation: triangles ride the SUBLANE axis (chunks of T_SUB) and the
+    # RX tile the 128-wide lane axis — lane padding then wastes nothing on
+    # small meshes (the triangle count only pads to a multiple of T_SUB,
+    # not 128), and blocks stay [T_SUB, tile_r] which fits VMEM at any
+    # tile_t.
+    tile_t = mesh_ref.shape[1]
+    num_chunks = tile_t // T_SUB
     thresh = 1.0 - 2.0 * hit_tol
 
     def _blockage_slot(slot, _):
         @pl.when(jnp.logical_not(mask_ref[0, slot, 0, :].all()))
         def _blockage():
             blocked = mask_ref[0, slot, 0, :]
-            for s in range(k + 1):
-                o = [
-                    seg_scratch[slot, 6 * s + c, :].reshape(-1, 1)
-                    for c in range(3)
-                ]
-                d = [
-                    seg_scratch[slot, 6 * s + 3 + c, :].reshape(-1, 1)
-                    for c in range(3)
-                ]
-                # Offset the origin to dodge self-intersection at the
-                # segment start (same trick as the mesh-level any-hit).
-                o = [o[c] + d[c] * hit_tol for c in range(3)]
-                h = [
-                    d[1] * e2[2] - d[2] * e2[1],
-                    d[2] * e2[0] - d[0] * e2[2],
-                    d[0] * e2[1] - d[1] * e2[0],
-                ]
-                det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
-                inv = jnp.where(
-                    det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det)
-                )
-                s_vec = [o[c] - v0[c] for c in range(3)]
-                u = inv * (
-                    s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2]
-                )
-                q = [
-                    s_vec[1] * e1[2] - s_vec[2] * e1[1],
-                    s_vec[2] * e1[0] - s_vec[0] * e1[2],
-                    s_vec[0] * e1[1] - s_vec[1] * e1[0],
-                ]
-                v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
-                tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
-                hit = (
-                    (jnp.abs(det) > epsilon)
-                    & (u >= 0.0)
-                    & (u <= 1.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (tt > epsilon)
-                    & (tt < thresh)
-                    & active
-                )
-                blocked = blocked | hit.any(axis=1)
+            for chunk in range(num_chunks):
+                sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
+                v0 = [mesh_ref[c, sl].reshape(-1, 1) for c in range(3)]
+                e1 = [mesh_ref[3 + c, sl].reshape(-1, 1) for c in range(3)]
+                e2 = [mesh_ref[6 + c, sl].reshape(-1, 1) for c in range(3)]
+                active = active_ref[0, sl].reshape(-1, 1) > 0
+                for s in range(k + 1):
+                    o = [
+                        seg_scratch[slot, 6 * s + c, :].reshape(1, -1)
+                        for c in range(3)
+                    ]
+                    d = [
+                        seg_scratch[slot, 6 * s + 3 + c, :].reshape(1, -1)
+                        for c in range(3)
+                    ]
+                    # Offset the origin to dodge self-intersection at the
+                    # segment start (same trick as the mesh-level any-hit).
+                    o = [o[c] + d[c] * hit_tol for c in range(3)]
+                    h = [
+                        d[1] * e2[2] - d[2] * e2[1],
+                        d[2] * e2[0] - d[0] * e2[2],
+                        d[0] * e2[1] - d[1] * e2[0],
+                    ]
+                    det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
+                    inv = jnp.where(
+                        det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det)
+                    )
+                    s_vec = [o[c] - v0[c] for c in range(3)]
+                    u = inv * (
+                        s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2]
+                    )
+                    q = [
+                        s_vec[1] * e1[2] - s_vec[2] * e1[1],
+                        s_vec[2] * e1[0] - s_vec[0] * e1[2],
+                        s_vec[0] * e1[1] - s_vec[1] * e1[0],
+                    ]
+                    v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
+                    tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
+                    hit = (
+                        (jnp.abs(det) > epsilon)
+                        & (u >= 0.0)
+                        & (u <= 1.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (tt > epsilon)
+                        & (tt < thresh)
+                        & active
+                    )
+                    blocked = blocked | hit.any(axis=0)
             mask_ref[0, slot, 0, :] = blocked
 
         return None
@@ -310,9 +320,12 @@ def pallas_trace_specular(
     k = order
 
     # Adaptive tiles: no point padding a small mesh (or RX set) up to the
-    # maximum tile — wasted lanes dominate for small scenes.
+    # maximum tile — wasted sublanes dominate for small scenes. Triangles
+    # ride the sublane axis in the blockage phase, so they only pad to a
+    # multiple of T_SUB (the block lane dim stays legal because a single
+    # tile covers the full padded array dimension).
     tile_r = min(MAX_TILE_R, pl.cdiv(max(num_rx, 1), 256) * 256)
-    tile_t = min(MAX_TILE_T, pl.cdiv(max(num_tris, 1), 128) * 128)
+    tile_t = min(MAX_TILE_T, pl.cdiv(max(num_tris, 1), T_SUB) * T_SUB)
     rx_padded = pl.cdiv(max(num_rx, 1), tile_r) * tile_r
     tris_padded = pl.cdiv(max(num_tris, 1), tile_t) * tile_t
     cand_padded = pl.cdiv(max(num_cand, 1), C_TILE) * C_TILE
