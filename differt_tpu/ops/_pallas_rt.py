@@ -34,8 +34,9 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-TILE_R = 256
-TILE_T = 1024
+TILE_R = 1024
+TILE_T = 512
+T_SUB = 64  # Triangle sublane-chunk size inside a tile.
 
 _NEG = -1.0  # Inactive-triangle marker handled via the active row.
 
@@ -50,21 +51,21 @@ def _vmem_spec(block_shape, index_map):
     return pl.BlockSpec(block_shape, index_map)
 
 
-def _mt_block(rays_ref, tris_ref, active_ref, epsilon):
-    """Vectorized Moeller-Trumbore over a [TILE_R, TILE_T] block.
+def _mt_chunk(o, d, tris_ref, active_ref, sl, epsilon):
+    """Vectorized Moeller-Trumbore over a [T_SUB, TILE_R] chunk.
 
+    Rays ride the 128-wide lane axis (no relayout from the input block);
+    the triangle chunk rides the sublane axis, so triangle counts pad to a
+    multiple of T_SUB instead of 128 and blocks stay small in VMEM.
     Returns ``(t, hit)`` where padded/inactive triangles never hit.
     """
-    # Rays: [3*3? no: 6, TILE_R] -> origin rows 0..2, direction rows 3..5.
-    o = [rays_ref[i, :].reshape(-1, 1) for i in range(3)]
-    d = [rays_ref[3 + i, :].reshape(-1, 1) for i in range(3)]
     # Triangles: [9, TILE_T] -> v0 rows 0..2, e1 rows 3..5, e2 rows 6..8.
-    v0 = [tris_ref[i, :].reshape(1, -1) for i in range(3)]
-    e1 = [tris_ref[3 + i, :].reshape(1, -1) for i in range(3)]
-    e2 = [tris_ref[6 + i, :].reshape(1, -1) for i in range(3)]
-    active = active_ref[0, :].reshape(1, -1) > 0
+    v0 = [tris_ref[i, sl].reshape(-1, 1) for i in range(3)]
+    e1 = [tris_ref[3 + i, sl].reshape(-1, 1) for i in range(3)]
+    e2 = [tris_ref[6 + i, sl].reshape(-1, 1) for i in range(3)]
+    active = active_ref[0, sl].reshape(-1, 1) > 0
 
-    # h = d x e2  -> [TILE_R, TILE_T] per component.
+    # h = d x e2  -> [T_SUB, TILE_R] per component.
     h0 = d[1] * e2[2] - d[2] * e2[1]
     h1 = d[2] * e2[0] - d[0] * e2[2]
     h2 = d[0] * e2[1] - d[1] * e2[0]
@@ -108,8 +109,15 @@ def _mt_block(rays_ref, tris_ref, active_ref, epsilon):
     return t, hit
 
 
+def _ray_lanes(rays_ref):
+    o = [rays_ref[i, :].reshape(1, -1) for i in range(3)]
+    d = [rays_ref[3 + i, :].reshape(1, -1) for i in range(3)]
+    return o, d
+
+
 def _anyhit_kernel(rays_ref, tris_ref, active_ref, thresh_ref, out_ref, *, epsilon):
     j = pl.program_id(1)
+    tile_t = tris_ref.shape[1]
 
     @pl.when(j == 0)
     def _init():
@@ -119,36 +127,53 @@ def _anyhit_kernel(rays_ref, tris_ref, active_ref, thresh_ref, out_ref, *, epsil
     # tiles have nothing to add — skip the whole MT block.
     @pl.when((j == 0) | jnp.logical_not(out_ref[...].all()))
     def _compute():
-        t, hit = _mt_block(rays_ref, tris_ref, active_ref, epsilon)
-        thresh = thresh_ref[0, :].reshape(-1, 1)
-        blocked = (hit & (t < thresh)).any(axis=1)
-        out_ref[0, :] = out_ref[0, :] | blocked
+        o, d = _ray_lanes(rays_ref)
+        thresh = thresh_ref[0, :].reshape(1, -1)
+        for chunk in range(tile_t // T_SUB):
+            sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
+
+            # Fully padded / masked-out chunks cost one reduce, not an MT.
+            @pl.when(jnp.any(active_ref[0, sl] > 0))
+            def _chunk(sl=sl):
+                t, hit = _mt_chunk(o, d, tris_ref, active_ref, sl, epsilon)
+                out_ref[0, :] = out_ref[0, :] | (hit & (t < thresh)).any(axis=0)
 
 
 def _closest_kernel(
     rays_ref, tris_ref, active_ref, idx_out_ref, t_out_ref, *, epsilon
 ):
     j = pl.program_id(1)
+    tile_t = tris_ref.shape[1]
 
     @pl.when(j == 0)
     def _init():
         idx_out_ref[...] = jnp.full_like(idx_out_ref, -1)
         t_out_ref[...] = jnp.full_like(t_out_ref, jnp.inf)
 
-    t, hit = _mt_block(rays_ref, tris_ref, active_ref, epsilon)
-    t = jnp.where(hit, t, jnp.inf)
-    tile_min = jnp.min(t, axis=1)
-    tile_arg = jnp.argmin(t, axis=1).astype(jnp.int32) + j * TILE_T
+    o, d = _ray_lanes(rays_ref)
+    for chunk in range(tile_t // T_SUB):
+        sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
 
-    # Ties prefer the later tile, matching the tiled pure-JAX reference
-    # combine (first_triangle_hit_by_ray) so results are bit-identical when
-    # tile sizes line up.
-    best_t = t_out_ref[0, :]
-    closer = tile_min <= best_t
-    t_out_ref[0, :] = jnp.where(closer, tile_min, best_t)
-    idx_out_ref[0, :] = jnp.where(
-        closer & jnp.isfinite(tile_min), tile_arg, idx_out_ref[0, :]
-    )
+        @pl.when(jnp.any(active_ref[0, sl] > 0))
+        def _chunk(sl=sl, chunk=chunk):
+            t, hit = _mt_chunk(o, d, tris_ref, active_ref, sl, epsilon)
+            t = jnp.where(hit, t, jnp.inf)
+            chunk_min = jnp.min(t, axis=0)
+            chunk_arg = (
+                jnp.argmin(t, axis=0).astype(jnp.int32)
+                + j * tile_t
+                + chunk * T_SUB
+            )
+
+            # Ties prefer the later chunk, matching the tiled pure-JAX
+            # reference combine (first_triangle_hit_by_ray) so results are
+            # bit-identical when tile sizes line up.
+            best_t = t_out_ref[0, :]
+            closer = chunk_min <= best_t
+            t_out_ref[0, :] = jnp.where(closer, chunk_min, best_t)
+            idx_out_ref[0, :] = jnp.where(
+                closer & jnp.isfinite(chunk_min), chunk_arg, idx_out_ref[0, :]
+            )
 
 
 def _pad_to(x: Array, size: int, axis: int, value) -> Array:
@@ -169,7 +194,11 @@ def _prepare(
     num_rays = ray_origins.shape[0]
     num_tris = triangle_vertices.shape[0]
     rays_padded = pl.cdiv(num_rays, TILE_R) * TILE_R
-    tris_padded = pl.cdiv(num_tris, TILE_T) * TILE_T
+    # Triangles pad to T_SUB granularity (sublane chunks); only past one
+    # full tile do they round up to TILE_T multiples for the grid.
+    tris_padded = pl.cdiv(max(num_tris, 1), T_SUB) * T_SUB
+    if tris_padded > TILE_T:
+        tris_padded = pl.cdiv(tris_padded, TILE_T) * TILE_T
 
     rays = jnp.concatenate((ray_origins, ray_directions), axis=-1).T  # [6, R]
     rays = _pad_to(rays, rays_padded, 1, 0.0)
@@ -193,7 +222,8 @@ def _prepare(
 def _run_anyhit(rays, tris, active, thresh, epsilon_static):
     rays_padded = rays.shape[1]
     tris_padded = tris.shape[1]
-    grid = (rays_padded // TILE_R, tris_padded // TILE_T)
+    tile_t = min(TILE_T, tris_padded)
+    grid = (rays_padded // TILE_R, tris_padded // tile_t)
 
     out = pl.pallas_call(
         functools.partial(_anyhit_kernel, epsilon=epsilon_static),
@@ -201,8 +231,8 @@ def _run_anyhit(rays, tris, active, thresh, epsilon_static):
         grid=grid,
         in_specs=[
             _vmem_spec((6, TILE_R), lambda i, j: (0, i)),
-            _vmem_spec((9, TILE_T), lambda i, j: (0, j)),
-            _vmem_spec((1, TILE_T), lambda i, j: (0, j)),
+            _vmem_spec((9, tile_t), lambda i, j: (0, j)),
+            _vmem_spec((1, tile_t), lambda i, j: (0, j)),
             _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
         ],
         out_specs=_vmem_spec((1, TILE_R), lambda i, j: (0, i)),
@@ -215,7 +245,8 @@ def _run_anyhit(rays, tris, active, thresh, epsilon_static):
 def _run_closest(rays, tris, active, epsilon_static):
     rays_padded = rays.shape[1]
     tris_padded = tris.shape[1]
-    grid = (rays_padded // TILE_R, tris_padded // TILE_T)
+    tile_t = min(TILE_T, tris_padded)
+    grid = (rays_padded // TILE_R, tris_padded // tile_t)
 
     idx, t = pl.pallas_call(
         functools.partial(_closest_kernel, epsilon=epsilon_static),
@@ -226,8 +257,8 @@ def _run_closest(rays, tris, active, epsilon_static):
         grid=grid,
         in_specs=[
             _vmem_spec((6, TILE_R), lambda i, j: (0, i)),
-            _vmem_spec((9, TILE_T), lambda i, j: (0, j)),
-            _vmem_spec((1, TILE_T), lambda i, j: (0, j)),
+            _vmem_spec((9, tile_t), lambda i, j: (0, j)),
+            _vmem_spec((1, tile_t), lambda i, j: (0, j)),
         ],
         out_specs=(
             _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
