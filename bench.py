@@ -139,10 +139,85 @@ def bench_raycast() -> dict:
     }
 
 
+def bench_config3() -> dict:
+    """BASELINE config 3: ~10k-triangle urban mesh, order-3 SBR launch +
+    first-order UTD diffraction paths (the exhaustive candidate space at
+    order 3 is ~1e12 — ray launching is the production approach there)."""
+    scene = urban_scene(16, 16)
+    import differt_tpu.treekit as tk
+
+    scene = tk.tree_at(
+        lambda s: s.transmitters, scene, jnp.array([[0.0, 0.0, 40.0]])
+    )
+    scene = scene.with_receivers_grid(8, 8, height=1.5)
+    num_tris = scene.mesh.num_triangles
+    num_rays = 250_000
+    order = 3
+
+    def launch(i):
+        return scene.launch_paths(
+            order=order, solver="sbr", num_rays=num_rays + 8 * i
+        ).masks
+
+    _sync(launch(0).sum())
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        _sync(launch(1).sum())
+        best = min(best, time.perf_counter() - start)
+    sbr_bounce_rays_per_s = num_rays * (order + 1) / best
+
+    # Edge extraction (dedup + connectivity) is host-side preprocessing:
+    # run it on the CPU backend, then measure only the on-device tracing.
+    cpu = jax.devices("cpu")[0]
+    to_cpu = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, cpu) if isinstance(x, jax.Array) else x, t
+    )
+    with jax.default_device(cpu):
+        mesh_cpu = to_cpu(scene.mesh).dedup_vertices()
+        edges_cpu, _, _ = mesh_cpu._diffraction_edges_info()
+    device = jax.devices()[0]
+    to_dev = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, device) if isinstance(x, jax.Array) else x, t
+    )
+    mesh = to_dev(mesh_cpu)
+    edges = jax.device_put(edges_cpu, device)
+    num_edges = edges.shape[0]
+
+    from differt_tpu.rt._diffraction import _trace_diffraction
+
+    def diff(i):
+        # min_len varies per call so repeats cannot collapse to a cache hit.
+        return _trace_diffraction(
+            mesh,
+            scene.transmitters.reshape(-1, 3),
+            scene.receivers.reshape(-1, 3),
+            edges,
+            epsilon=None,
+            hit_tol=None,
+            min_len=1e-6 * (i + 1),
+        ).mask
+
+    _sync(diff(0).sum())
+    best_d = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        _sync(diff(1).sum())
+        best_d = min(best_d, time.perf_counter() - start)
+    num_rx = scene.num_receivers
+    return {
+        "num_triangles": num_tris,
+        "num_edges": num_edges,
+        "sbr_order3_bounce_rays_per_s": sbr_bounce_rays_per_s,
+        "diffraction_paths_per_s": num_rx * num_edges / best_d,
+    }
+
+
 def main() -> None:
     set_backend("auto")
     coverage = bench_coverage()
     raycast = bench_raycast()
+    config3 = bench_config3()
     print(
         json.dumps({
             "metric": "order2_coverage_path_candidates_traced_per_s",
@@ -152,6 +227,9 @@ def main() -> None:
             "extra": {
                 "coverage": {k: round(v, 2) for k, v in coverage.items()},
                 "raycast": {k: round(v, 2) for k, v in raycast.items()},
+                "config3_urban10k": {
+                    k: round(v, 2) for k, v in config3.items()
+                },
                 "backend": jax.default_backend(),
             },
         })

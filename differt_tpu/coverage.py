@@ -120,6 +120,7 @@ def complex_amplitudes(
     eta_r: Float[ArrayLike, " num_materials"],
     conductivity: Float[ArrayLike, " num_materials"],
     thickness: Float[ArrayLike, " num_materials"] | None = None,
+    tx_pattern=None,
 ) -> Complex[Array, "*batch"]:
     """Complex channel amplitude of every traced path (V polarization).
 
@@ -131,6 +132,12 @@ def complex_amplitudes(
 
     Material parameters are explicit arrays (not a table lookup) so they
     can be optimization variables.
+
+    With ``tx_pattern`` (a :class:`differt_tpu.em.RadiationPattern`), the
+    launch polarization and amplitude follow the pattern evaluated in each
+    path's departure direction instead of the default unit-V-pol isotropic
+    excitation. This extends the reference, whose antenna module never
+    feeds its path pipeline.
 
     The whole pipeline is computed structure-of-arrays (every 3-vector is a
     tuple of batch-shaped components): on TPU this removes the trailing
@@ -181,8 +188,22 @@ def complex_amplitudes(
         s_lens.append(s_len)
 
     batch = paths.mask.shape
-    e_theta = jnp.ones(batch, dtype=jnp.complex64)
-    e_phi = jnp.zeros(batch, dtype=jnp.complex64)
+    if tx_pattern is None:
+        e_theta = jnp.ones(batch, dtype=jnp.complex64)
+        e_phi = jnp.zeros(batch, dtype=jnp.complex64)
+    else:
+        # Evaluate the pattern per departure direction: the amplitude-scaled
+        # (s, p) field vectors projected onto the first segment's spherical
+        # frame replace the unit-V-pol excitation.
+        k0 = k_hats[0]
+        r_eval = tx_pattern.center + jnp.stack(k0, axis=-1)
+        s_vec, p_vec = tx_pattern.polarization_vectors(r_eval)
+        e_vec = tuple(
+            s_vec[..., axis] + p_vec[..., axis] for axis in range(3)
+        )
+        th0, ph0 = _spherical3(k0)
+        e_theta = _dot3(e_vec, th0).astype(jnp.complex64)
+        e_phi = _dot3(e_vec, ph0).astype(jnp.complex64)
 
     if order > 0:
         face_materials = scene.mesh.face_materials
@@ -272,6 +293,7 @@ def received_power(
     conductivity: Float[ArrayLike, " num_materials"],
     thickness: Float[ArrayLike, " num_materials"] | None = None,
     coherent: bool = True,
+    tx_pattern=None,
 ) -> Float[Array, "*reduced_batch"]:
     """Received power per TX/RX pair (coherent or non-coherent path sum).
 
@@ -284,6 +306,7 @@ def received_power(
         eta_r=eta_r,
         conductivity=conductivity,
         thickness=thickness,
+        tx_pattern=tx_pattern,
     )
     if coherent:
         total = jnp.sum(a, axis=-1)
@@ -304,6 +327,7 @@ def power_map(
     with_diffraction: bool = False,
     with_scattering: bool = False,
     scattering_coefficient: Float[ArrayLike, " num_materials"] = 0.3,
+    tx_pattern=None,
     **solver_kwargs: Any,
 ) -> Float[Array, "*batch"]:
     """Coverage map: received power for every TX/RX pair in the scene.
@@ -345,6 +369,7 @@ def power_map(
             conductivity=conductivity,
             thickness=thickness,
             coherent=coherent,
+            tx_pattern=tx_pattern,
         )
 
     tx_batch = scene.transmitters.shape[:-1]
@@ -359,6 +384,7 @@ def power_map(
         eta_r=eta_r,
         conductivity=conductivity,
         thickness=thickness,
+        tx_pattern=tx_pattern,
     )
 
     a_diff = None

@@ -124,3 +124,69 @@ def test_power_map_with_diffraction() -> None:
     without = power_map(scene, FREQUENCY, order=1)
     with_d = power_map(scene, FREQUENCY, order=1, with_diffraction=True)
     assert float(with_d.reshape(())) > float(without.reshape(()))
+
+
+class TestTxPattern:
+    """TX radiation patterns in the coverage pipeline (extends reference)."""
+
+    def _free_space(self):
+        from differt_tpu.geometry import Mesh, Scene
+
+        far = Mesh.plane(
+            jnp.array([0.0, 0.0, -500.0]),
+            normal=jnp.array([0.0, 0.0, 1.0]),
+            side_length=1.0,
+        )
+        r = 100.0
+        inv_sqrt2 = 1.0 / np.sqrt(2.0)
+        return Scene(
+            transmitters=jnp.array([[0.0, 0.0, 0.0]]),
+            receivers=jnp.array(
+                [
+                    [r, 0.0, 0.0],  # horizon (theta = 90 deg)
+                    [0.0, 0.0, r],  # along the dipole axis
+                    [r * inv_sqrt2, 0.0, r * inv_sqrt2],  # 45 deg
+                ]
+            ),
+            mesh=far,
+        )
+
+    def test_short_dipole_gain_shape(self) -> None:
+        from differt_tpu.coverage import received_power
+        from differt_tpu.em._antenna import ShortDipolePattern
+
+        scene = self._free_space()
+        paths = scene.trace_paths(order=0)
+        eta, sig = jnp.array([1.0]), jnp.array([0.0])
+        p_iso = received_power(paths, scene, 2.4e9, eta_r=eta, conductivity=sig)
+        pattern = ShortDipolePattern(
+            frequency=2.4e9,
+            center=jnp.zeros(3),
+            direction=jnp.array([0.0, 0.0, 1.0]),
+        )
+        p_dip = received_power(
+            paths, scene, 2.4e9, eta_r=eta, conductivity=sig, tx_pattern=pattern
+        )
+        ratio = np.asarray(p_dip / p_iso).ravel()
+        # Short dipole: G(theta) = 1.5 sin^2(theta).
+        np.testing.assert_allclose(ratio, [1.5, 0.0, 0.75], atol=1e-3)
+
+    def test_half_wave_dipole_peak_gain(self) -> None:
+        from differt_tpu.coverage import received_power
+        from differt_tpu.em._antenna import HWDipolePattern
+
+        scene = self._free_space()
+        paths = scene.trace_paths(order=0)
+        eta, sig = jnp.array([1.0]), jnp.array([0.0])
+        p_iso = received_power(paths, scene, 2.4e9, eta_r=eta, conductivity=sig)
+        pattern = HWDipolePattern(
+            frequency=2.4e9,
+            center=jnp.zeros(3),
+            direction=jnp.array([0.0, 0.0, 1.0]),
+        )
+        p_hw = received_power(
+            paths, scene, 2.4e9, eta_r=eta, conductivity=sig, tx_pattern=pattern
+        )
+        np.testing.assert_allclose(
+            float((p_hw / p_iso)[0, 0]), 1.640922, rtol=1e-4
+        )

@@ -221,3 +221,48 @@ class TestMixedAmplitudes:
         assert bool(jnp.isfinite(value)) and value > 0.0
         assert bool(jnp.isfinite(grad).all())
         assert bool((grad != 0.0).any())
+
+
+class TestDoubleDiffraction:
+    def test_over_the_top_path(self) -> None:
+        """Both endpoints low: over-the-top needs double diffraction."""
+        ground = Mesh.plane(
+            jnp.array([0.0, 0.0, 0.0]),
+            normal=jnp.array([0.0, 0.0, 1.0]),
+            side_length=40.0,
+        )
+        box = Mesh.box(2.0, 6.0, 3.0, with_top=True).translate(
+            jnp.array([0.0, 0.0, 1.5])
+        )
+        mesh = (ground + box).dedup_vertices().set_materials("Concrete")
+        scene = Scene(
+            transmitters=jnp.array([[-8.0, 0.0, 1.6]]),
+            receivers=jnp.array([[8.0, 0.0, 1.4]]),
+            mesh=mesh,
+        )
+        # Sanity: no LoS, no single diffraction over the top.
+        assert int(scene.trace_paths(order=0).mask.sum()) == 0
+
+        paths = MixedPathTracer().trace_paths(scene, [D, D])
+        assert int(paths.mask.sum()) > 0
+        v = np.asarray(paths.vertices[np.asarray(paths.mask)])
+        top = v[(np.abs(v[:, 1, 2] - 3) < 1e-3) & (np.abs(v[:, 2, 2] - 3) < 1e-3)]
+        assert len(top) == 1
+        np.testing.assert_allclose(top[0, 1], [-1.0, 0.0, 3.0], atol=5e-3)
+        np.testing.assert_allclose(top[0, 2], [1.0, 0.0, 3.0], atol=5e-3)
+
+        # Cascaded UTD amplitudes stay finite.
+        m2 = scene.mesh.dedup_vertices()
+        edges, adj, wn = m2._diffraction_edges_info()
+        a = mixed_amplitudes(
+            paths,
+            scene,
+            FREQUENCY,
+            edges=edges,
+            adjacent_triangles=adj,
+            wedge_n=wn,
+            eta_r=ETA_R,
+            conductivity=CONDUCTIVITY,
+        )
+        assert bool(jnp.isfinite(a).all())
+        assert bool((jnp.abs(a) > 0).any())
