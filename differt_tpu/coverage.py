@@ -20,95 +20,15 @@ from jaxtyping import Array, ArrayLike, Complex, Float
 from .em import c, epsilon_0, z_0
 from .em._fresnel import slab_reflection_coefficients
 from .geometry import Scene, TracedPaths
-from .utils import safe_divide
-
-# --- Component-wise (structure-of-arrays) 3-vector helpers. -----------------
-#
-# On TPU, arrays with trailing [path_len, 3] / [..., 3] axes are tiled to
-# (8, 128) blocks per tiny slice — up to an ~85x memory blowup at
-# coverage-map batch sizes, which makes the EM chain HBM-bound instead of
-# compute-bound. Every vector below is therefore a plain (x, y, z) tuple of
-# batch-shaped arrays, so all intermediates tile perfectly.
-
-
-def _dot3(a, b):
-    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
-
-
-def _cross3(a, b):
-    return (
-        a[1] * b[2] - a[2] * b[1],
-        a[2] * b[0] - a[0] * b[2],
-        a[0] * b[1] - a[1] * b[0],
-    )
-
-
-def _normalize3(a):
-    """Zero-safe normalize (parity with geometry.normalize)."""
-    n = jnp.sqrt(_dot3(a, a))
-    safe = jnp.where(n == 0.0, 1.0, n)
-    return tuple(comp / safe for comp in a), n
-
-
-def _spherical3(k):
-    """Component-wise spherical_basis (same values as em.spherical_basis)."""
-    x, y, z = k
-    s_sq = x * x + y * y
-    degenerate = s_sq < 1e-12
-    s = jnp.sqrt(jnp.where(degenerate, 1.0, s_sq))
-    cos_p = jnp.where(degenerate, 1.0, x / s)
-    sin_p = jnp.where(degenerate, 0.0, y / s)
-    s_out = jnp.where(degenerate, 0.0, s)
-    zeros = jnp.zeros_like(s)
-    theta_hat = (z * cos_p, z * sin_p, -s_out)
-    phi_hat = (-sin_p, cos_p, zeros)
-    return theta_hat, phi_hat
-
-
-def _perpendicular3(u):
-    """Component-wise perpendicular_vector (same branch rule)."""
-    ux, uy, uz = u
-    zeros = jnp.zeros_like(ux)
-    pick_a = jnp.abs(ux) > jnp.abs(uy)
-    cand = (
-        jnp.where(pick_a, -uy, zeros),
-        jnp.where(pick_a, ux, -uz),
-        jnp.where(pick_a, zeros, uy),
-    )
-    return _normalize3(_cross3(u, cand))[0]
-
-
-def _sp_directions3(k_i, k_r, normal):
-    """Component-wise sp_directions (same normal-incidence fallback)."""
-    e_i_s, norm = _normalize3(_cross3(k_i, normal))
-    perp = _perpendicular3(k_i)
-    degenerate = norm == 0.0
-    e_i_s = tuple(jnp.where(degenerate, p, e) for p, e in zip(perp, e_i_s))
-    e_i_p = _normalize3(_cross3(e_i_s, k_i))[0]
-    e_r_p = _normalize3(_cross3(e_i_s, k_r))[0]
-    return (e_i_s, e_i_p), (e_i_s, e_r_p)
-
-
-_ONEHOT_GATHER_MAX_ROWS = 4096
-
-
-def _gather_columns(table, idx):
-    """Row-gather from a small ``[T, C]`` table, returned as C batch arrays.
-
-    On TPU, native gathers with multi-million-element index arrays are
-    dramatically slower than a one-hot x table matmul on the MXU (measured
-    ~50x on coverage-map batches), so small tables take the matmul path;
-    large tables fall back to ``jnp.take``. Output layout is ``[C, *batch]``
-    — component arrays in the clean batch tiling.
-    """
-    num_rows, num_cols = table.shape
-    if num_rows <= _ONEHOT_GATHER_MAX_ROWS and jax.default_backend() == "tpu":
-        onehot = (idx[..., None] == jnp.arange(num_rows, dtype=idx.dtype)).astype(
-            table.dtype
-        )
-        return jnp.einsum("...t,tc->c...", onehot, table)
-    out = jnp.take(table, idx, axis=0)
-    return jnp.moveaxis(out, -1, 0)
+from .utils import (
+    cross3 as _cross3,  # noqa: F401 (re-exported for internal use)
+    dot3 as _dot3,
+    gather_columns as _gather_columns,
+    normalize3 as _normalize3,
+    safe_divide,
+    sp_directions3 as _sp_directions3,
+    spherical3 as _spherical3,
+)
 
 
 @eqx.filter_jit

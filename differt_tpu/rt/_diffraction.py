@@ -215,81 +215,107 @@ def diffraction_amplitudes(
     given, lossy wedge faces use the Luebbers heuristic (per-face Fresnel
     reflection coefficients at the grazing angles to the o- and n-faces);
     otherwise faces are PEC.
+
+    Implementation is structure-of-arrays for TPU coverage-map batch sizes:
+    all per-edge quantities are precomposed into one ``[num_edges, C]``
+    table fetched with a single one-hot MXU matmul, and all vector math
+    runs on component tuples of batch-shaped arrays (see
+    ``docs/architecture.md``, "TPU layout lessons").
     """
     from ..em._constants import c, epsilon_0
     from ..em._fresnel import reflection_coefficients
     from ..em._utd import diffraction_coefficients
-    from ..em._utils import spherical_basis
+    from ..utils import dot3, cross3, gather_columns, normalize3, spherical3, unpack_vertices3
 
     frequency = jnp.asarray(frequency)
     wavelength = c / frequency
     k_wave = 2.0 * jnp.pi / wavelength
 
-    vertices = paths.vertices
-    tx = vertices[..., 0, :]
-    qd = vertices[..., 1, :]
-    rx = vertices[..., 2, :]
-
-    edge_idx = paths.objects[..., 1]
-    edge_origin = jnp.take(edges[:, 0, :], edge_idx, axis=0)
-    edge_end = jnp.take(edges[:, 1, :], edge_idx, axis=0)
-    e_hat = normalize(edge_end - edge_origin)[0]
-    n_param = jnp.take(wedge_n, edge_idx, axis=0)
-
-    o_face = jnp.take(adjacent_triangles[:, 0], edge_idx, axis=0)
-    n_face = jnp.take(adjacent_triangles[:, 1], edge_idx, axis=0)
+    # ---- Per-edge table (small, built once per call). ----
+    edge_origin_t = edges[:, 0, :]
+    e_hat_t = normalize(edges[:, 1, :] - edge_origin_t)[0]
+    o_face = adjacent_triangles[:, 0].clip(min=0)
+    n_face = adjacent_triangles[:, 1].clip(min=0)
     tri_centroids = scene.mesh.triangle_vertices.mean(axis=-2)
     normals = scene.mesh.normals
-    c_o = jnp.take(tri_centroids, o_face.clip(min=0), axis=0)
-    n_o = jnp.take(normals, o_face.clip(min=0), axis=0)
-    c_n = jnp.take(tri_centroids, n_face.clip(min=0), axis=0)
-
-    t_o = _face_tangent(c_o, edge_origin, e_hat)
-    t_n = _face_tangent(c_n, edge_origin, e_hat)
-
+    c_o = jnp.take(tri_centroids, o_face, axis=0)
+    n_o_t = jnp.take(normals, o_face, axis=0)
+    t_o_t = _face_tangent(c_o, edge_origin_t, e_hat_t)
     # Re-orient the edge so that (t_o, n_o, e_hat) is right-handed: then
     # azimuths measured from t_o toward n_o sweep through the wedge
     # exterior. (Check: cross(t_o, n_o) should align with e_hat.)
-    flip = jnp.sum(jnp.cross(t_o, n_o) * e_hat, axis=-1) < 0.0
-    e_hat = jnp.where(flip[..., None], -e_hat, e_hat)
+    flip = jnp.sum(jnp.cross(t_o_t, n_o_t) * e_hat_t, axis=-1) < 0.0
+    e_hat_t = jnp.where(flip[..., None], -e_hat_t, e_hat_t)
 
-    k_i, s_i = normalize(qd - tx)
-    k_d, s_d = normalize(rx - qd)
-
-    # Skew angle (Keller cone half angle).
-    cos_beta = jnp.sum(k_i * e_hat, axis=-1)
-    sin_beta_0 = jnp.sqrt(jnp.clip(1.0 - cos_beta * cos_beta, 1e-12, 1.0))
-
-    def azimuth(v: Array) -> Array:
-        """Angle of v (projected perp to the edge) from the o-face, through
-        the exterior, in [0, 2 pi)."""
-        par = jnp.sum(v * e_hat, axis=-1, keepdims=True)
-        perp = normalize(v - par * e_hat)[0]
-        x = jnp.sum(perp * t_o, axis=-1)
-        y = jnp.sum(perp * n_o, axis=-1)
-        ang = jnp.arctan2(y, x)
-        return jnp.where(ang < 0.0, ang + 2.0 * jnp.pi, ang)
-
-    phi_i = azimuth(-k_i)
-    phi_d = azimuth(k_d)
-
-    length = s_i * s_d * sin_beta_0 * sin_beta_0 / (s_i + s_d)
-
-    r_o = r_n = None
-    if eta_r is not None and conductivity is not None:
+    lossy = eta_r is not None and conductivity is not None
+    columns = [e_hat_t, t_o_t, n_o_t, wedge_n[:, None]]
+    if lossy:
         eta_r = jnp.asarray(eta_r)
         conductivity = jnp.asarray(conductivity)
         omega = 2.0 * jnp.pi * frequency
         n_complex = jnp.sqrt(eta_r - 1j * conductivity / (omega * epsilon_0))
         face_materials = scene.mesh.face_materials
         if face_materials is None:
-            n_r_o = jnp.broadcast_to(n_complex[0], phi_i.shape)
-            n_r_n = n_r_o
+            n_r_o_t = jnp.broadcast_to(n_complex[0], o_face.shape)
+            n_r_n_t = n_r_o_t
         else:
-            mat_o = jnp.take(face_materials, o_face.clip(min=0), axis=0)
-            mat_n = jnp.take(face_materials, n_face.clip(min=0), axis=0)
-            n_r_o = jnp.take(n_complex, mat_o.clip(min=0), axis=0)
-            n_r_n = jnp.take(n_complex, mat_n.clip(min=0), axis=0)
+            n_r_o_t = jnp.take(
+                n_complex, jnp.take(face_materials, o_face).clip(min=0), axis=0
+            )
+            n_r_n_t = jnp.take(
+                n_complex, jnp.take(face_materials, n_face).clip(min=0), axis=0
+            )
+        columns += [
+            jnp.real(n_r_o_t)[:, None],
+            jnp.imag(n_r_o_t)[:, None],
+            jnp.real(n_r_n_t)[:, None],
+            jnp.imag(n_r_n_t)[:, None],
+        ]
+    table = jnp.concatenate(
+        [col.astype(jnp.float32) for col in columns], axis=-1
+    )
+
+    # ---- Batch side (everything component-wise). ----
+    valid = (
+        paths.mask
+        if paths.mask.dtype == jnp.bool_
+        else paths.mask >= paths.confidence_threshold
+    )
+    pts = unpack_vertices3(paths.vertices, valid)
+    tx, qd, rx = pts
+    seg_i = tuple(qd[a] - tx[a] for a in range(3))
+    seg_d = tuple(rx[a] - qd[a] for a in range(3))
+    k_i, s_i = normalize3(seg_i)
+    k_d, s_d = normalize3(seg_d)
+
+    cols = gather_columns(table, paths.objects[..., 1])
+    e_hat = (cols[0], cols[1], cols[2])
+    t_o = (cols[3], cols[4], cols[5])
+    n_o = (cols[6], cols[7], cols[8])
+    n_param = cols[9]
+    if lossy:
+        n_r_o = jax.lax.complex(cols[10], cols[11])
+        n_r_n = jax.lax.complex(cols[12], cols[13])
+
+    # Skew angle (Keller cone half angle).
+    cos_beta = dot3(k_i, e_hat)
+    sin_beta_0 = jnp.sqrt(jnp.clip(1.0 - cos_beta * cos_beta, 1e-12, 1.0))
+
+    def azimuth(v):
+        """Angle of v (projected perp to the edge) from the o-face, through
+        the exterior, in [0, 2 pi)."""
+        par = dot3(v, e_hat)
+        perp = normalize3(tuple(v[a] - par * e_hat[a] for a in range(3)))[0]
+        ang = jnp.arctan2(dot3(perp, n_o), dot3(perp, t_o))
+        return jnp.where(ang < 0.0, ang + 2.0 * jnp.pi, ang)
+
+    phi_i = azimuth(tuple(-comp for comp in k_i))
+    phi_d = azimuth(k_d)
+
+    length = s_i * s_d * sin_beta_0 * sin_beta_0 / (s_i + s_d)
+
+    r_o = r_n = None
+    if lossy:
         # Luebbers: o-face coefficient at the incident grazing angle phi',
         # n-face at the diffracted grazing angle (n pi - phi). Fresnel
         # expects cos from the normal = sin of the grazing angle.
@@ -310,15 +336,15 @@ def diffraction_amplitudes(
     )
 
     # Edge-fixed frames.
-    phi_i_hat = normalize(jnp.cross(e_hat, k_i))[0]
-    beta_i_hat = normalize(jnp.cross(phi_i_hat, k_i))[0]
-    phi_d_hat = normalize(jnp.cross(e_hat, k_d))[0]
-    beta_d_hat = normalize(jnp.cross(phi_d_hat, k_d))[0]
+    phi_i_hat = normalize3(cross3(e_hat, k_i))[0]
+    beta_i_hat = normalize3(cross3(phi_i_hat, k_i))[0]
+    phi_d_hat = normalize3(cross3(e_hat, k_d))[0]
+    beta_d_hat = normalize3(cross3(phi_d_hat, k_d))[0]
 
     # Incoming V-pol field in the spherical frame of the first segment.
-    theta_in, phi_in = spherical_basis(k_i)
-    e_beta = jnp.sum(theta_in * beta_i_hat, axis=-1).astype(jnp.complex64)
-    e_phi = jnp.sum(theta_in * phi_i_hat, axis=-1).astype(jnp.complex64)
+    theta_in, _ = spherical3(k_i)
+    e_beta = dot3(theta_in, beta_i_hat).astype(jnp.complex64)
+    e_phi = dot3(theta_in, phi_i_hat).astype(jnp.complex64)
 
     # Apply diag(D_s, D_h) in the edge-fixed basis (the conventional
     # leading minus already lives inside the coefficients' common factor).
@@ -326,12 +352,12 @@ def diffraction_amplitudes(
     e_phi = d_h * e_phi
 
     # Project onto the receiver's V polarization.
-    theta_out, phi_out = spherical_basis(k_d)
-    theta_neg = spherical_basis(-k_d)[0]
-    u = jnp.sum(theta_out * theta_neg, axis=-1)
+    theta_out, _ = spherical3(k_d)
+    theta_neg = spherical3(tuple(-comp for comp in k_d))[0]
+    u = dot3(theta_out, theta_neg)
     a = u * (
-        e_beta * jnp.sum(theta_out * beta_d_hat, axis=-1)
-        + e_phi * jnp.sum(theta_out * phi_d_hat, axis=-1)
+        e_beta * dot3(theta_out, beta_d_hat)
+        + e_phi * dot3(theta_out, phi_d_hat)
     )
 
     # Spherical-wave spreading (incident 1/s_i spreading folded in) and

@@ -59,3 +59,110 @@ def smoothing_function(
     fully-eucap2024 technique).
     """
     return jax.nn.sigmoid(jnp.asarray(x) * smoothing_factor)
+
+
+# --- Component-wise (structure-of-arrays) 3-vector helpers. -----------------
+#
+# On TPU, arrays with trailing [..., 3] axes tile to (8, 128) blocks per
+# tiny slice — up to an ~85x memory-traffic blowup at coverage-map batch
+# sizes. The EM pipelines therefore carry every 3-vector as an (x, y, z)
+# tuple of batch-shaped arrays; these are the shared primitives.
+
+
+def dot3(a, b):
+    """Dot product of component-tuple 3-vectors."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross3(a, b):
+    """Cross product of component-tuple 3-vectors."""
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def normalize3(a):
+    """Zero-safe normalize (parity with ``geometry.normalize``)."""
+    n = jnp.sqrt(dot3(a, a))
+    safe = jnp.where(n == 0.0, 1.0, n)
+    return tuple(comp / safe for comp in a), n
+
+
+def spherical3(k):
+    """Component-wise ``em.spherical_basis`` (same values)."""
+    x, y, z = k
+    s_sq = x * x + y * y
+    degenerate = s_sq < 1e-12
+    s = jnp.sqrt(jnp.where(degenerate, 1.0, s_sq))
+    cos_p = jnp.where(degenerate, 1.0, x / s)
+    sin_p = jnp.where(degenerate, 0.0, y / s)
+    s_out = jnp.where(degenerate, 0.0, s)
+    zeros = jnp.zeros_like(s)
+    theta_hat = (z * cos_p, z * sin_p, -s_out)
+    phi_hat = (-sin_p, cos_p, zeros)
+    return theta_hat, phi_hat
+
+
+def perpendicular3(u):
+    """Component-wise ``geometry.perpendicular_vector`` (same branch rule)."""
+    ux, uy, uz = u
+    zeros = jnp.zeros_like(ux)
+    pick_a = jnp.abs(ux) > jnp.abs(uy)
+    cand = (
+        jnp.where(pick_a, -uy, zeros),
+        jnp.where(pick_a, ux, -uz),
+        jnp.where(pick_a, zeros, uy),
+    )
+    return normalize3(cross3(u, cand))[0]
+
+
+def sp_directions3(k_i, k_r, normal):
+    """Component-wise ``em.sp_directions`` (same normal-incidence fallback)."""
+    e_i_s, norm = normalize3(cross3(k_i, normal))
+    perp = perpendicular3(k_i)
+    degenerate = norm == 0.0
+    e_i_s = tuple(jnp.where(degenerate, p, e) for p, e in zip(perp, e_i_s))
+    e_i_p = normalize3(cross3(e_i_s, k_i))[0]
+    e_r_p = normalize3(cross3(e_i_s, k_r))[0]
+    return (e_i_s, e_i_p), (e_i_s, e_r_p)
+
+
+ONEHOT_GATHER_MAX_ROWS = 4096
+
+
+def gather_columns(table, idx):
+    """Row-gather from a small ``[T, C]`` table, returned as C batch arrays.
+
+    On TPU, native gathers with multi-million-element index arrays are
+    dramatically slower than a one-hot x table matmul on the MXU (measured
+    ~50x on coverage-map batches), so small tables take the matmul path;
+    large tables fall back to ``jnp.take``. Output layout is ``[C, *batch]``
+    — component arrays in the clean batch tiling.
+    """
+    num_rows, _num_cols = table.shape
+    if num_rows <= ONEHOT_GATHER_MAX_ROWS and jax.default_backend() == "tpu":
+        onehot = (idx[..., None] == jnp.arange(num_rows, dtype=idx.dtype)).astype(
+            table.dtype
+        )
+        return jnp.einsum("...t,tc->c...", onehot, table)
+    out = jnp.take(table, idx, axis=0)
+    return jnp.moveaxis(out, -1, 0)
+
+
+def unpack_vertices3(vertices, valid):
+    """Unpack ``[*batch, L, 3]`` path vertices into per-(point, axis) arrays.
+
+    Invalid entries are replaced by a straight dummy path (x = point index)
+    so downstream normalize/grad stay finite; callers re-zero via the mask.
+    """
+    num_points = vertices.shape[-2]
+    v_soa = jnp.moveaxis(vertices, (-2, -1), (0, 1))
+    return [
+        [
+            jnp.where(valid, v_soa[l, axis], float(l) if axis == 0 else 0.0)
+            for axis in range(3)
+        ]
+        for l in range(num_points)
+    ]

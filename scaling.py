@@ -13,9 +13,16 @@ On a multi-host pod, call ``jax.distributed.initialize()`` first (pass
 
 import argparse
 import json
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Some accelerator plugins ignore JAX_PLATFORMS from the environment; the
+# config update makes the CPU request stick (required for the virtual
+# multi-device mesh: XLA_FLAGS=--xla_force_host_platform_device_count=N).
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> None:
@@ -75,11 +82,25 @@ def main() -> None:
         })
         print(json.dumps(results[-1]))
 
+    # Virtual host-platform devices all share the same physical CPU cores:
+    # throughput cannot scale there (the run validates sharding correctness
+    # + compilation only); real scaling numbers require real chips.
+    virtual = (
+        jax.default_backend() == "cpu"
+        and "host_platform_device_count" in os.environ.get("XLA_FLAGS", "")
+    )
     print(
         json.dumps({
             "summary": results,
             "backend": jax.default_backend(),
             "paths_per_run": paths_per_run,
+            "virtual_devices": virtual,
+            "note": (
+                "virtual devices share one physical CPU; efficiency is "
+                "meaningful on real chips only"
+            )
+            if virtual
+            else None,
         })
     )
 
