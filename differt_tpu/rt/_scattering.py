@@ -36,7 +36,6 @@ from jaxtyping import Array, ArrayLike, Complex, Float, Int
 from .. import treekit as tk
 from ..em._interaction_type import InteractionType
 from ..geometry._paths import TracedPaths
-from ..geometry._vectors import normalize
 from ..utils import safe_divide
 
 
@@ -231,6 +230,7 @@ def scattering_amplitudes(
     """
     from ..em._constants import c, epsilon_0
     from ..em._fresnel import reflection_coefficients
+    from ..utils import dot3, gather_columns, normalize3, unpack_vertices3
 
     frequency = jnp.asarray(frequency)
     wavelength = c / frequency
@@ -248,39 +248,43 @@ def scattering_amplitudes(
         if paths.mask.dtype == jnp.bool_
         else paths.mask >= paths.confidence_threshold
     )
-    path_length = paths.vertices.shape[-2]
-    dummy = (
-        jnp.zeros((path_length, 3))
-        .at[:, 0]
-        .set(jnp.arange(path_length, dtype=paths.vertices.dtype))
-    )
-    vertices = jnp.where(valid[..., None, None], paths.vertices, dummy)
+    pts = unpack_vertices3(paths.vertices, valid)
+    tx, q, rx = pts
+    k_in, r_i = normalize3(tuple(q[a] - tx[a] for a in range(3)))
+    k_out, r_s = normalize3(tuple(rx[a] - q[a] for a in range(3)))
 
-    tx = vertices[..., 0, :]
-    q = vertices[..., 1, :]
-    rx = vertices[..., 2, :]
-    k_in, r_i = normalize(q - tx)
-    k_out, r_s = normalize(rx - q)
-
-    tri = paths.objects[..., 1]
-    normals = jnp.take(scene.mesh.normals, tri, axis=0)
-    tv = jnp.take(scene.mesh.triangle_vertices, tri, axis=0)
-    area = 0.5 * jnp.linalg.norm(
-        jnp.cross(tv[..., 1, :] - tv[..., 0, :], tv[..., 2, :] - tv[..., 0, :]),
+    # Per-triangle table (normal, area, complex n, S), one one-hot matmul.
+    normals_t = scene.mesh.normals
+    tv_t = scene.mesh.triangle_vertices
+    area_t = 0.5 * jnp.linalg.norm(
+        jnp.cross(tv_t[:, 1, :] - tv_t[:, 0, :], tv_t[:, 2, :] - tv_t[:, 0, :]),
         axis=-1,
     )
-    d_area = area / num_samples
-
     face_materials = scene.mesh.face_materials
     if face_materials is None:
-        mat = jnp.zeros_like(tri)
+        mat_t = jnp.zeros(normals_t.shape[0], dtype=jnp.int32)
     else:
-        mat = jnp.take(face_materials, tri, axis=0).clip(min=0)
-    n_r_val = jnp.take(n_complex, mat, axis=0)
-    s_val = jnp.take(s_coeff, mat, axis=0)
+        mat_t = face_materials.clip(min=0)
+    n_r_t = jnp.take(n_complex, mat_t, axis=0)
+    s_t = jnp.take(s_coeff, mat_t, axis=0)
+    table = jnp.concatenate(
+        (
+            normals_t.astype(jnp.float32),
+            area_t[:, None].astype(jnp.float32),
+            jnp.real(n_r_t)[:, None],
+            jnp.imag(n_r_t)[:, None],
+            s_t[:, None].astype(jnp.float32),
+        ),
+        axis=-1,
+    )
+    cols = gather_columns(table, paths.objects[..., 1])
+    normals = (cols[0], cols[1], cols[2])
+    d_area = cols[3] / num_samples
+    n_r_val = jax.lax.complex(cols[4], cols[5])
+    s_val = cols[6]
 
-    cos_theta_i = jnp.clip(jnp.sum(normals * -k_in, axis=-1), 0.0, 1.0)
-    cos_theta_s = jnp.clip(jnp.sum(normals * k_out, axis=-1), 0.0, 1.0)
+    cos_theta_i = jnp.clip(-dot3(normals, k_in), 0.0, 1.0)
+    cos_theta_s = jnp.clip(dot3(normals, k_out), 0.0, 1.0)
 
     # Surface power reflection: mean of s/p at the incident angle.
     r_s_c, r_p_c = reflection_coefficients(n_r_val, cos_theta_i)
@@ -296,20 +300,11 @@ def scattering_amplitudes(
         # 2 pi / (a + 1) * (approximately, exact for normal incidence);
         # we use the exact normal-incidence normalization, the standard
         # practice (Degli-Esposti et al. 2007, eq. 11 with theta_i = 0).
-        cos_psi = jnp.clip(
-            jnp.sum(
-                (
-                    k_in
-                    - 2.0
-                    * jnp.sum(k_in * normals, axis=-1, keepdims=True)
-                    * normals
-                )
-                * k_out,
-                axis=-1,
-            ),
-            -1.0,
-            1.0,
+        k_dot_n = dot3(k_in, normals)
+        reflected = tuple(
+            k_in[a] - 2.0 * k_dot_n * normals[a] for a in range(3)
         )
+        cos_psi = jnp.clip(dot3(reflected, k_out), -1.0, 1.0)
         norm_const = 2.0 * jnp.pi / (alpha_r + 1.0)
         pattern = ((1.0 + cos_psi) / 2.0) ** alpha_r / norm_const
 
