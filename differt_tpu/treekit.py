@@ -263,3 +263,51 @@ def filter_jit(fun: Callable[..., Any]) -> Callable[..., Any]:
     wrapper.__doc__ = fun.__doc__
     wrapper.__wrapped__ = fun
     return wrapper
+
+
+def tree_serialise_leaves(path, pytree) -> None:
+    """Save every array leaf of a pytree to ``path`` (.npz).
+
+    Mirrors ``equinox.tree_serialise_leaves``: only array leaves are
+    written (in flatten order); static fields stay in code. Use
+    :func:`tree_deserialise_leaves` with a template of the same structure
+    to restore — the checkpoint/resume story for solver/optimizer state
+    (the reference never persists state; SURVEY.md section 5).
+    """
+    leaves = [
+        np.asarray(leaf)
+        for leaf in jax.tree_util.tree_leaves(pytree)
+        if _is_array(leaf)
+    ]
+    np.savez(path, **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)})
+
+
+def tree_deserialise_leaves(path, like):
+    """Load array leaves saved by :func:`tree_serialise_leaves` into ``like``.
+
+    ``like`` provides the pytree structure (and the static fields); every
+    array leaf is replaced by the stored value (shape/dtype checked).
+    """
+    with np.load(path) as data:
+        stored = [data[f"leaf_{i}"] for i in range(len(data.files))]
+
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    it = iter(stored)
+    new_leaves = []
+    for leaf in leaves:
+        if _is_array(leaf):
+            loaded = next(it)
+            if tuple(loaded.shape) != tuple(jnp.shape(leaf)):
+                msg = (
+                    f"Shape mismatch deserialising leaf: stored "
+                    f"{loaded.shape}, template {jnp.shape(leaf)}."
+                )
+                raise ValueError(msg)
+            new_leaves.append(jnp.asarray(loaded, dtype=jnp.asarray(leaf).dtype))
+        else:
+            new_leaves.append(leaf)
+    remaining = sum(1 for _ in it)
+    if remaining:
+        msg = f"Checkpoint has {remaining} extra leaves for this template."
+        raise ValueError(msg)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

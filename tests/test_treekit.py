@@ -121,3 +121,63 @@ class TestFilterJit:
             return x * n  # n concrete: usable in Python context too.
 
         assert float(f(jnp.asarray(2.0), 3)) == 6.0
+
+
+import chex
+
+
+class TestSerialisation:
+    def test_roundtrip_scene(self, tmp_path) -> None:
+        import jax.numpy as jnp
+
+        from differt_tpu import treekit as tk
+        from differt_tpu.geometry import Mesh, Scene
+
+        scene = Scene(
+            transmitters=jnp.array([[1.0, 2.0, 3.0]]),
+            receivers=jnp.array([[4.0, 5.0, 6.0]]),
+            mesh=Mesh.box(2.0, 3.0, 4.0).set_materials("Concrete"),
+        )
+        path = tmp_path / "scene.npz"
+        tk.tree_serialise_leaves(path, scene)
+
+        template = Scene(
+            transmitters=jnp.zeros((1, 3)),
+            receivers=jnp.zeros((1, 3)),
+            mesh=Mesh.box(1.0, 1.0, 1.0).set_materials("Concrete"),
+        )
+        restored = tk.tree_deserialise_leaves(path, template)
+        chex.assert_trees_all_close(restored.transmitters, scene.transmitters)
+        chex.assert_trees_all_close(restored.mesh.vertices, scene.mesh.vertices)
+        # Static fields come from the template/code, not the checkpoint.
+        assert restored.mesh.material_names == scene.mesh.material_names
+
+    def test_shape_mismatch_raises(self, tmp_path) -> None:
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from differt_tpu import treekit as tk
+
+        path = tmp_path / "x.npz"
+        tk.tree_serialise_leaves(path, {"a": jnp.zeros((3,))})
+        with _pytest.raises(ValueError, match="Shape mismatch"):
+            tk.tree_deserialise_leaves(path, {"a": jnp.zeros((4,))})
+
+    def test_optimizer_state_roundtrip(self, tmp_path) -> None:
+        """Checkpoint/resume of a real optimizer state (optax)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from differt_tpu import treekit as tk
+
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+        opt = optax.adam(1e-2)
+        state = opt.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        _, state = opt.update(grads, state, params)
+
+        path = tmp_path / "opt.npz"
+        tk.tree_serialise_leaves(path, state)
+        restored = tk.tree_deserialise_leaves(path, opt.init(params))
+        chex.assert_trees_all_close(restored, state)
