@@ -248,6 +248,7 @@ def power_map(
     with_scattering: bool = False,
     scattering_coefficient: Float[ArrayLike, " num_materials"] = 0.3,
     tx_pattern=None,
+    mixed_signatures=None,
     **solver_kwargs: Any,
 ) -> Float[Array, "*batch"]:
     """Coverage map: received power for every TX/RX pair in the scene.
@@ -260,7 +261,10 @@ def power_map(
     ``with_scattering=True``, single-bounce diffuse scattering power
     (Degli-Esposti effective roughness, Lambertian pattern) is added
     incoherently — scattered phases are random in nature, so its power
-    adds regardless of ``coherent``.
+    adds regardless of ``coherent``. ``mixed_signatures`` (a sequence of
+    interaction-type tuples, e.g. ``[(REFLECTION, DIFFRACTION)]``) adds
+    mixed reflection/diffraction chains via the Fermat-based
+    :class:`differt_tpu.rt.MixedPathTracer`.
     """
     from .em import materials as itu_materials
 
@@ -280,7 +284,7 @@ def power_map(
         ])
 
     paths = scene.trace_paths(order=order, solver=solver, **solver_kwargs)
-    if not with_diffraction and not with_scattering:
+    if not with_diffraction and not with_scattering and not mixed_signatures:
         return received_power(
             paths,
             scene,
@@ -307,35 +311,59 @@ def power_map(
         tx_pattern=tx_pattern,
     )
 
-    a_diff = None
-    if with_diffraction:
-        from .rt._diffraction import diffraction_amplitudes
-
+    extra_amplitudes = []
+    if with_diffraction or mixed_signatures:
         mesh = (
             scene.mesh
             if scene.mesh.assume_unique_vertices
             else scene.mesh.dedup_vertices()
         )
         edges, adjacent, wedge_n = mesh._diffraction_edges_info()
+
+    if with_diffraction:
+        from .rt._diffraction import diffraction_amplitudes
+
         diff_paths = scene.trace_diffraction_paths()
-        a_diff = diffraction_amplitudes(
-            diff_paths.reshape(num_tx, num_rx, -1),
-            scene,
-            frequency,
-            edges=edges,
-            adjacent_triangles=adjacent,
-            wedge_n=wedge_n,
+        extra_amplitudes.append(
+            diffraction_amplitudes(
+                diff_paths.reshape(num_tx, num_rx, -1),
+                scene,
+                frequency,
+                edges=edges,
+                adjacent_triangles=adjacent,
+                wedge_n=wedge_n,
+            )
         )
+
+    if mixed_signatures:
+        from .rt._mixed import MixedPathTracer, mixed_amplitudes
+
+        tracer = MixedPathTracer()
+        for signature in mixed_signatures:
+            mixed_paths = tracer.trace_paths(scene, signature)
+            extra_amplitudes.append(
+                mixed_amplitudes(
+                    mixed_paths.reshape(num_tx, num_rx, -1),
+                    scene,
+                    frequency,
+                    edges=edges,
+                    adjacent_triangles=adjacent,
+                    wedge_n=wedge_n,
+                    eta_r=eta_r,
+                    conductivity=conductivity,
+                    thickness=thickness,
+                )
+            )
 
     if coherent:
         total = a_spec.sum(axis=-1)
-        if a_diff is not None:
-            total = total + a_diff.sum(axis=-1)
+        for a in extra_amplitudes:
+            total = total + a.sum(axis=-1)
         power = jnp.abs(total) ** 2 / z_0
     else:
         power = jnp.sum(jnp.abs(a_spec) ** 2, axis=-1) / z_0
-        if a_diff is not None:
-            power = power + jnp.sum(jnp.abs(a_diff) ** 2, axis=-1) / z_0
+        for a in extra_amplitudes:
+            power = power + jnp.sum(jnp.abs(a) ** 2, axis=-1) / z_0
 
     if with_scattering:
         from .rt._scattering import scattering_amplitudes

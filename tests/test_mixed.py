@@ -266,3 +266,19 @@ class TestDoubleDiffraction:
         )
         assert bool(jnp.isfinite(a).all())
         assert bool((jnp.abs(a) > 0).any())
+
+
+def test_power_map_mixed_signatures(knife_edge_scene: Scene) -> None:
+    """power_map adds mixed-chain contributions coherently."""
+    from differt_tpu.coverage import power_map
+
+    base = power_map(
+        knife_edge_scene, FREQUENCY, order=1, with_diffraction=True,
+        coherent=False,
+    )
+    both = power_map(
+        knife_edge_scene, FREQUENCY, order=1, with_diffraction=True,
+        coherent=False, mixed_signatures=[(R, D)],
+    )
+    # The knife-edge scene has exactly one valid R-D path: power increases.
+    assert float(both.sum()) > float(base.sum())

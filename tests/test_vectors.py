@@ -120,3 +120,65 @@ def test_assemble_path() -> None:
     np.testing.assert_array_equal(np.asarray(out[-1]), np.full(3, 2.0))
     two = assemble_path(jnp.zeros(3), jnp.ones(3))
     assert two.shape == (2, 3)
+
+
+class TestSoAHelpers:
+    """The component-wise helpers must match their vector counterparts."""
+
+    def test_match_vector_forms(self) -> None:
+        import numpy as np
+
+        from differt_tpu.em import sp_directions, spherical_basis
+        from differt_tpu.geometry import normalize, perpendicular_vector
+        from differt_tpu.utils import (
+            normalize3,
+            perpendicular3,
+            sp_directions3,
+            spherical3,
+        )
+
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        n = normalize(jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32)))[0]
+        comps = tuple(v[:, a] for a in range(3))
+
+        unit, length = normalize3(comps)
+        ref_unit, ref_len = normalize(v)
+        np.testing.assert_allclose(np.stack(unit, -1), ref_unit, atol=1e-6)
+        np.testing.assert_allclose(length, ref_len, atol=1e-5)
+
+        th, ph = spherical3(normalize3(comps)[0])
+        ref_th, ref_ph = spherical_basis(normalize(v)[0])
+        np.testing.assert_allclose(np.stack(th, -1), ref_th, atol=1e-6)
+        np.testing.assert_allclose(np.stack(ph, -1), ref_ph, atol=1e-6)
+
+        perp = perpendicular3(comps)
+        np.testing.assert_allclose(
+            np.stack(perp, -1), perpendicular_vector(v), atol=1e-6
+        )
+
+        ki = normalize(v)[0]
+        kr = normalize(w)[0]
+        (eis, eip), (ers, erp) = sp_directions3(
+            tuple(ki[:, a] for a in range(3)),
+            tuple(kr[:, a] for a in range(3)),
+            tuple(n[:, a] for a in range(3)),
+        )
+        (ris, rip), (rrs, rrp) = sp_directions(ki, kr, n)
+        np.testing.assert_allclose(np.stack(eis, -1), ris, atol=1e-6)
+        np.testing.assert_allclose(np.stack(eip, -1), rip, atol=1e-6)
+        np.testing.assert_allclose(np.stack(erp, -1), rrp, atol=1e-6)
+
+    def test_gather_columns_fallback(self) -> None:
+        import numpy as np
+
+        from differt_tpu.utils import gather_columns
+
+        table = jnp.asarray(np.arange(24, dtype=np.float32).reshape(8, 3))
+        idx = jnp.asarray([[1, 7], [0, 3]])
+        cols = gather_columns(table, idx)
+        assert cols.shape == (3, 2, 2)
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(cols), 0, -1), np.asarray(table)[np.asarray(idx)]
+        )
