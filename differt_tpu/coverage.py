@@ -301,8 +301,9 @@ def power_map(
     num_tx = max(int(jnp.prod(jnp.array(tx_batch))), 1)
     num_rx = max(int(jnp.prod(jnp.array(rx_batch))), 1)
 
+    paths_r = paths.reshape(num_tx, num_rx, -1)
     a_spec = complex_amplitudes(
-        paths.reshape(num_tx, num_rx, -1),
+        paths_r,
         scene,
         frequency,
         eta_r=eta_r,
@@ -310,6 +311,22 @@ def power_map(
         thickness=thickness,
         tx_pattern=tx_pattern,
     )
+    if with_scattering:
+        # Energy conservation (Degli-Esposti effective roughness): a surface
+        # that scatters a fraction S^2 of the incident power reflects the
+        # specular part with amplitude scaled by sqrt(1 - S^2). Apply the
+        # per-bounce reduction to the specular chain so total power is not
+        # over-counted (_scattering.py leaves this to the caller).
+        s_arr = jnp.asarray(scattering_coefficient)
+        obj = paths_r.objects[..., 1:-1]
+        if s_arr.ndim == 0 or scene.mesh.face_materials is None:
+            s_per_bounce = jnp.broadcast_to(s_arr.reshape(-1)[0], obj.shape)
+        else:
+            mat = jnp.take(scene.mesh.face_materials, obj, axis=0)
+            s_per_bounce = jnp.take(s_arr, mat, axis=0)
+        a_spec = a_spec * jnp.prod(
+            jnp.sqrt(1.0 - s_per_bounce**2), axis=-1
+        ).astype(a_spec.real.dtype)
 
     extra_amplitudes = []
     if with_diffraction or mixed_signatures:

@@ -82,7 +82,7 @@ def draw_markers(markers, labels, **kwargs: Any):
     markers = np.asarray(markers, dtype=np.float32)
     text_kwargs = kwargs.pop("text_kwargs", {})
     scene.visuals.Markers(pos=markers, parent=view.scene, **kwargs)
-    if labels:
+    if labels is not None and len(labels):
         scene.visuals.Text(
             text=list(labels), pos=markers, parent=view.scene, **text_kwargs
         )

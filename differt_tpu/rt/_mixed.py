@@ -360,6 +360,7 @@ def mixed_amplitudes(
     eta_r: Float[ArrayLike, " num_materials"],
     conductivity: Float[ArrayLike, " num_materials"],
     thickness: Float[ArrayLike, " num_materials"] | None = None,
+    types: "tuple[int, ...] | None" = None,
 ) -> Complex[Array, "*batch"]:
     """Complex channel amplitude of mixed reflection/diffraction paths (V-pol).
 
@@ -371,14 +372,32 @@ def mixed_amplitudes(
     approximation beyond.
 
     ``paths.interaction_types`` must be constant along the batch (one
-    signature per call, as produced by :class:`MixedPathTracer`).
+    signature per call, as produced by :class:`MixedPathTracer`). The
+    signature is a *static* quantity: it is read on the host from
+    ``paths.interaction_types``, which fails under ``jit``/``vmap`` — in
+    that case pass it explicitly via ``types`` (a tuple of
+    :class:`InteractionType` values, one per interaction).
     """
     import numpy as np
 
     order = paths.order
-    types = tuple(
-        int(t) for t in np.asarray(paths.interaction_types).reshape(-1, order)[0]
-    )
+    if types is None:
+        try:
+            host_types = np.asarray(paths.interaction_types)
+        except Exception as exc:  # jax.errors.TracerArrayConversionError
+            msg = (
+                "mixed_amplitudes reads the (static) interaction signature "
+                "from paths.interaction_types on the host, which is not "
+                "possible under jit/vmap. Pass the signature explicitly "
+                "via the `types` argument instead."
+            )
+            raise ValueError(msg) from exc
+        types = tuple(int(t) for t in host_types.reshape(-1, order)[0])
+    else:
+        types = tuple(int(t) for t in types)
+        if len(types) != order:
+            msg = f"`types` has {len(types)} entries but paths.order is {order}."
+            raise ValueError(msg)
     return _mixed_amplitudes(
         paths,
         scene,

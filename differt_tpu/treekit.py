@@ -265,6 +265,15 @@ def filter_jit(fun: Callable[..., Any]) -> Callable[..., Any]:
     return wrapper
 
 
+def _npz_path(path) -> str:
+    """Normalize to a ``.npz`` suffix: ``np.savez`` appends it on save, so
+    the loader must look for the same name."""
+    import os
+
+    path = os.fspath(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def tree_serialise_leaves(path, pytree) -> None:
     """Save every array leaf of a pytree to ``path`` (.npz).
 
@@ -274,6 +283,7 @@ def tree_serialise_leaves(path, pytree) -> None:
     to restore — the checkpoint/resume story for solver/optimizer state
     (the reference never persists state; SURVEY.md section 5).
     """
+    path = _npz_path(path)
     leaves = [
         np.asarray(leaf)
         for leaf in jax.tree_util.tree_leaves(pytree)
@@ -286,9 +296,10 @@ def tree_deserialise_leaves(path, like):
     """Load array leaves saved by :func:`tree_serialise_leaves` into ``like``.
 
     ``like`` provides the pytree structure (and the static fields); every
-    array leaf is replaced by the stored value (shape/dtype checked).
+    array leaf is replaced by the stored value (shapes are checked; values
+    are cast to the template leaf's dtype).
     """
-    with np.load(path) as data:
+    with np.load(_npz_path(path)) as data:
         stored = [data[f"leaf_{i}"] for i in range(len(data.files))]
 
     leaves, treedef = jax.tree_util.tree_flatten(like)

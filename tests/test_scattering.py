@@ -1,6 +1,7 @@
 """Tests for diffuse scattering paths and effective-roughness fields."""
 
 import jax
+import chex
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -184,3 +185,41 @@ class TestScatteringAmplitudes:
         assert bool(jnp.isfinite(grad))
         # Power scales as S^2 -> d/dS = 2 P / S.
         np.testing.assert_allclose(float(grad), 2 * float(value) / 0.4, rtol=1e-4)
+
+
+class TestEnergyConservation:
+    def test_zero_coefficient_matches_plain_power_map(self, ground_scene: Scene) -> None:
+        """S=0: no scattered field and no specular reduction."""
+        base = power_map(ground_scene, FREQUENCY, order=1)
+        with_s0 = power_map(
+            ground_scene,
+            FREQUENCY,
+            order=1,
+            with_scattering=True,
+            scattering_coefficient=0.0,
+        )
+        chex.assert_trees_all_close(with_s0, base, rtol=1e-6)
+
+    def test_specular_reduced_by_one_minus_s_squared(self, ground_scene: Scene) -> None:
+        """The specular part of the map scales by (1 - S^2) per bounce.
+
+        Scattered power is incoherent and separable: map(S) - S^2-scaled
+        scatter equals (1 - S^2) * map(0) for a single-bounce scene.
+        """
+        base = power_map(ground_scene, FREQUENCY, order=1, coherent=False)
+
+        def total(s):
+            return power_map(
+                ground_scene,
+                FREQUENCY,
+                order=1,
+                coherent=False,
+                with_scattering=True,
+                scattering_coefficient=s,
+            )
+
+        s1, s2 = 0.3, 0.6
+        # scattered(S) = S^2 * scattered_unit; recover it at s1, predict s2.
+        scattered_unit = (total(s1) - (1.0 - s1**2) * base) / s1**2
+        expected = (1.0 - s2**2) * base + s2**2 * scattered_unit
+        chex.assert_trees_all_close(total(s2), expected, rtol=1e-3, atol=1e-18)

@@ -181,3 +181,15 @@ class TestSerialisation:
         tk.tree_serialise_leaves(path, state)
         restored = tk.tree_deserialise_leaves(path, opt.init(params))
         chex.assert_trees_all_close(restored, state)
+
+    def test_roundtrip_bare_path_without_extension(self, tmp_path) -> None:
+        """np.savez appends '.npz'; the loader must find the same file."""
+        import jax.numpy as jnp
+
+        from differt_tpu import treekit as tk
+
+        path = tmp_path / "ckpt"  # no extension
+        tree = {"a": jnp.arange(5.0), "b": jnp.ones((2, 2))}
+        tk.tree_serialise_leaves(path, tree)
+        restored = tk.tree_deserialise_leaves(path, jax.tree.map(jnp.zeros_like, tree))
+        chex.assert_trees_all_close(restored, tree)
