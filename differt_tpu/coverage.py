@@ -266,22 +266,9 @@ def power_map(
     mixed reflection/diffraction chains via the Fermat-based
     :class:`differt_tpu.rt.MixedPathTracer`.
     """
-    from .em import materials as itu_materials
-
-    if eta_r is None or conductivity is None:
-        names = scene.mesh.material_names or ("Vacuum",)
-        eta_r = jnp.array([
-            itu_materials[name].relative_permittivity(frequency) for name in names
-        ])
-        conductivity = jnp.array([
-            itu_materials[name].conductivity(frequency) for name in names
-        ])
-        thickness = jnp.array([
-            itu_materials[name].thickness
-            if itu_materials[name].thickness is not None
-            else -1.0
-            for name in names
-        ])
+    eta_r, conductivity, thickness = _resolve_materials(
+        scene, frequency, eta_r, conductivity, thickness
+    )
 
     paths = scene.trace_paths(order=order, solver=solver, **solver_kwargs)
     if not with_diffraction and not with_scattering and not mixed_signatures:
@@ -397,4 +384,153 @@ def power_map(
         # Scattered phases are random surface noise: power adds incoherently.
         power = power + jnp.sum(jnp.abs(a_scatter) ** 2, axis=-1) / z_0
 
+    return power.reshape(*tx_batch, *rx_batch)
+
+
+def _resolve_materials(scene, frequency, eta_r, conductivity, thickness):
+    """Default material arrays from the ITU table at ``frequency``."""
+    from .em import materials as itu_materials
+
+    if eta_r is None or conductivity is None:
+        names = scene.mesh.material_names or ("Vacuum",)
+        eta_r = jnp.array([
+            itu_materials[name].relative_permittivity(frequency) for name in names
+        ])
+        conductivity = jnp.array([
+            itu_materials[name].conductivity(frequency) for name in names
+        ])
+        thickness = jnp.array([
+            itu_materials[name].thickness
+            if itu_materials[name].thickness is not None
+            else -1.0
+            for name in names
+        ])
+    return jnp.asarray(eta_r), jnp.asarray(conductivity), thickness
+
+
+def power_map_chunked(
+    scene: Scene,
+    frequency: Float[ArrayLike, ""],
+    *,
+    order: int = 1,
+    eta_r: Float[ArrayLike, " num_materials"] | None = None,
+    conductivity: Float[ArrayLike, " num_materials"] | None = None,
+    thickness: Float[ArrayLike, " num_materials"] | None = None,
+    coherent: bool = True,
+    solver: Any = "exhaustive",
+    path_candidates: Any = None,
+    candidate_chunk: int = 4096,
+    rx_chunk: int = 4096,
+    tx_pattern=None,
+    megakernel: bool | None = None,
+    batch_size: int | None = 512,
+) -> Float[Array, "*batch"]:
+    """Coverage map streamed through fixed-size device buffers.
+
+    :func:`power_map` materializes the full
+    ``[num_tx, num_rx, num_candidates]`` amplitude array — fine for small
+    scenes, impossible at city scale (10^5 RX x 10^5+ candidates). This
+    variant tiles BOTH axes: candidates are processed ``candidate_chunk``
+    at a time (per RX tile of ``rx_chunk``), accumulating the complex path
+    sum (``coherent=True``) or the power sum per pixel, so device memory
+    is O(candidate_chunk * rx_chunk) regardless of the scene. The compute
+    per tile is one jit-compiled trace + Jones-chain step whose shapes
+    never change (padded final tiles are masked), so everything runs as
+    one cached XLA/Pallas program per tile.
+
+    ``path_candidates`` overrides candidate generation (e.g. a
+    visibility-pruned set from :class:`differt_tpu.rt.HybridPathTracer`);
+    otherwise ``solver`` ("exhaustive"/"hybrid" or an instance) generates
+    them. The reference's analogue is host-side chunked iteration
+    (_solvers.py:850-934, graph.rs:77-116); here chunks are decoded and
+    traced without leaving the device.
+    """
+    from .rt._solvers import _SOLVER_REGISTRY, trace_path_candidates
+
+    eta_r, conductivity, thickness = _resolve_materials(
+        scene, frequency, eta_r, conductivity, thickness
+    )
+
+    tx = scene.transmitters.reshape(-1, 3)
+    rx_all = scene.receivers.reshape(-1, 3)
+    tx_batch = scene.transmitters.shape[:-1]
+    rx_batch = scene.receivers.shape[:-1]
+
+    if path_candidates is None:
+        solver_obj = (
+            _SOLVER_REGISTRY[solver]() if isinstance(solver, str) else solver
+        )
+        candidates, itypes = solver_obj.generate_path_candidates(scene, order)
+    else:
+        candidates = jnp.asarray(path_candidates)
+        itypes = jnp.zeros_like(candidates, dtype=jnp.int32)
+
+    num_candidates = candidates.shape[0]
+    candidate_chunk = min(candidate_chunk, max(num_candidates, 1))
+    pad_c = (-num_candidates) % candidate_chunk
+    if pad_c:
+        candidates = jnp.concatenate(
+            (candidates, jnp.broadcast_to(candidates[:1], (pad_c, candidates.shape[1]))),
+            axis=0,
+        )
+        itypes = jnp.concatenate(
+            (itypes, jnp.broadcast_to(itypes[:1], (pad_c, itypes.shape[1]))), axis=0
+        )
+
+    num_rx = rx_all.shape[0]
+    rx_chunk = min(rx_chunk, max(num_rx, 1))
+    pad_r = (-num_rx) % rx_chunk
+    if pad_r:
+        rx_all = jnp.concatenate(
+            (rx_all, jnp.broadcast_to(rx_all[:1], (pad_r, 3))), axis=0
+        )
+
+    @jax.jit
+    def tile(rx_tile, cand_chunk, itype_chunk, chunk_valid):
+        paths = trace_path_candidates(
+            scene.mesh,
+            tx,
+            rx_tile,
+            cand_chunk,
+            interaction_types=itype_chunk,
+            megakernel=megakernel,
+            batch_size=batch_size,
+        )
+        import differt_tpu.treekit as tk
+
+        paths = tk.tree_at(lambda p: p.mask, paths, paths.mask & chunk_valid)
+        a = complex_amplitudes(
+            paths,
+            scene,
+            frequency,
+            eta_r=eta_r,
+            conductivity=conductivity,
+            thickness=thickness,
+            tx_pattern=tx_pattern,
+        )
+        if coherent:
+            return a.sum(axis=-1)
+        return (jnp.abs(a) ** 2).sum(axis=-1)
+
+    num_chunks = candidates.shape[0] // candidate_chunk
+    out_tiles = []
+    for r0 in range(0, rx_all.shape[0], rx_chunk):
+        rx_tile = rx_all[r0 : r0 + rx_chunk]
+        acc = None
+        for c0 in range(num_chunks):
+            lo = c0 * candidate_chunk
+            chunk_valid = (
+                jnp.arange(lo, lo + candidate_chunk) < num_candidates
+            )
+            part = tile(
+                rx_tile,
+                candidates[lo : lo + candidate_chunk],
+                itypes[lo : lo + candidate_chunk],
+                chunk_valid,
+            )
+            acc = part if acc is None else acc + part
+        out_tiles.append(acc)
+
+    total = jnp.concatenate(out_tiles, axis=-1)[..., :num_rx]
+    power = (jnp.abs(total) ** 2 / z_0) if coherent else (total / z_0)
     return power.reshape(*tx_batch, *rx_batch)

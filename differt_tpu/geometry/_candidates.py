@@ -202,3 +202,56 @@ def generate_all_path_candidates_chunks_iter(
             )
 
     return SizedIterator(gen(), size=num_chunks)
+
+
+def generate_filtered_path_candidates(
+    num_primitives: int,
+    order: int,
+    predicate,
+    *,
+    chunk_size: int = 1 << 20,
+    warn_above: int = 1 << 30,
+):
+    """All candidates satisfying ``predicate``, without materializing the space.
+
+    Decodes the ``N * (N-1)**(order-1)`` candidate space ``chunk_size``
+    indices at a time (closed-form, on device), applies
+    ``predicate(chunk) -> bool[size]``, and concatenates the survivors on
+    the host — O(chunk + num_kept) memory instead of O(num_total). This is
+    the pure-JAX fallback matching the native filtered DFS
+    (native/_native.cpp) and the reference's chunked Rust iterator
+    (graph.rs:77-116); order-3 on a 10k-primitive mesh (10^12 candidates)
+    streams instead of OOM-ing.
+
+    Emits a warning when the unpruned space exceeds ``warn_above`` —
+    at ~10^8 candidates/s of decode+filter such an enumeration takes
+    minutes; prefer the native DFS or stronger visibility masks.
+    """
+    import warnings
+
+    import numpy as np
+
+    total = count_path_candidates(num_primitives, order)
+    if total > warn_above:
+        warnings.warn(
+            f"Filtering {total:.3g} path candidates by exhaustive chunked "
+            "enumeration; this may take minutes. Build the native extension "
+            "(differt_tpu.native) for a filtered DFS that never visits "
+            "pruned branches, or reduce the candidate space with masks.",
+            stacklevel=2,
+        )
+    parts = []
+    for start in range(0, total, chunk_size):
+        size = min(chunk_size, total - start)
+        chunk = generate_path_candidates(
+            num_primitives, order, start=start, size=size
+        )
+        keep = np.asarray(predicate(chunk))
+        parts.append(np.asarray(chunk)[keep])
+    if not parts:
+        import jax.numpy as jnp
+
+        return jnp.zeros((0, max(order, 0)), dtype=jnp.int32)
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.concatenate(parts, axis=0))

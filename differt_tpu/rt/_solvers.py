@@ -595,19 +595,27 @@ class ExhaustivePathTracer(AbstractPathTracer):
             raise NotImplementedError(msg)
 
         num_primitives = scene.mesh.num_primitives
-        candidates = generate_path_candidates(num_primitives, order)
 
-        if self.disconnect_inactive_triangles and scene.mesh.mask is not None:
+        if (
+            self.disconnect_inactive_triangles
+            and scene.mesh.mask is not None
+            and order > 0
+        ):
+            from ..geometry._candidates import generate_filtered_path_candidates
+
             mask = scene.mesh.mask
             if scene.mesh.assume_quads:
                 mask = mask[0::2] & mask[1::2]
-            keep = (
-                jnp.take(mask, candidates, axis=0).all(axis=-1)
-                if order > 0
-                else jnp.ones(candidates.shape[0], dtype=bool)
+            # Chunked decode -> filter -> concat: never materializes the
+            # unpruned N*(N-1)**(order-1) space (reference: chunked
+            # PathsChunksIter, graph.rs:77-116).
+            candidates = generate_filtered_path_candidates(
+                num_primitives,
+                order,
+                lambda chunk: jnp.take(mask, chunk, axis=0).all(axis=-1),
             )
-            # Host compaction: keeps only connected candidates (dynamic size).
-            candidates = candidates[np.asarray(keep)]
+        else:
+            candidates = generate_path_candidates(num_primitives, order)
 
         if scene.mesh.assume_quads:
             candidates = 2 * candidates
@@ -760,16 +768,26 @@ class HybridPathTracer(AbstractPathTracer):
                     node_mask=mask,
                 )
             )
+        elif order > 0:
+            from ..geometry._candidates import generate_filtered_path_candidates
+
+            vis_tx = jnp.asarray(visible_tx)
+            vis_rx = jnp.asarray(visible_rx)
+            mask_arr = jnp.asarray(mask) if mask is not None else None
+
+            def keep_fn(chunk: Array) -> Array:
+                keep = vis_tx[chunk[:, 0]] & vis_rx[chunk[:, -1]]
+                if mask_arr is not None:
+                    keep &= jnp.take(mask_arr, chunk, axis=0).all(axis=-1)
+                return keep
+
+            # Chunked decode -> filter -> concat: O(chunk + kept) memory
+            # even for order-3 on 10k primitives (10^12 raw candidates).
+            candidates = generate_filtered_path_candidates(
+                num_primitives, order, keep_fn
+            )
         else:
             candidates = generate_path_candidates(num_primitives, order)
-            if order > 0:
-                keep = jnp.asarray(visible_tx)[candidates[:, 0]]
-                keep &= jnp.asarray(visible_rx)[candidates[:, -1]]
-                if mask is not None:
-                    keep &= jnp.take(jnp.asarray(mask), candidates, axis=0).all(
-                        axis=-1
-                    )
-                candidates = candidates[np.asarray(keep)]
 
         if scene.mesh.assume_quads:
             candidates = 2 * candidates

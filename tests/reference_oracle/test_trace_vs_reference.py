@@ -38,45 +38,7 @@ def scene():
     return tk.tree_at(lambda s: (s.transmitters, s.receivers), base, (tx, rx))
 
 
-def ref_trace(ref, mesh_vertices, triangles, normals, tx, rx, candidates):
-    """The reference tracing pipeline composed from its free functions.
-
-    Mirrors ``differt/geometry/_solvers.py:499-770`` for triangle meshes
-    (no quads, no mask): gather mirrors, image method, then checks 3.1-3.5.
-    """
-    gu = ref["geometry_utils"]
-    im = ref["image_method"]
-
-    tri = jnp.take(triangles, candidates, axis=0)  # [C order 3]
-    tri_v = jnp.take(mesh_vertices, tri, axis=0)  # [C order 3 3]
-    mirror_v = tri_v[..., 0, :]
-    mirror_n = jnp.take(normals, candidates, axis=0)
-    all_tri_v = jnp.take(mesh_vertices, triangles, axis=0)  # [T 3 3]
-
-    paths = im.image_method(
-        tx[:, None, None, :], rx[None, :, None, :], mirror_v, mirror_n
-    )
-    full = gu.assemble_path(tx[:, None, None, :], paths, rx[None, :, None, :])
-
-    ray_origins = full[..., :-1, :]
-    ray_directions = jnp.diff(full, axis=-2)
-
-    inside = gu.ray_intersect_triangle(
-        ray_origins[..., :-1, :], ray_directions[..., :-1, :], tri_v
-    )[1].all(axis=-1)
-    same_side = im.consecutive_vertices_are_on_same_side_of_mirror(
-        full, mirror_v, mirror_n
-    ).all(axis=-1)
-    blocked = gu.ray_intersect_any_triangle(
-        ray_origins, ray_directions, all_tri_v
-    ).any(axis=-1)
-    lengths2 = jnp.sum(ray_directions * ray_directions, axis=-1)
-    min_len = 10.0 * jnp.finfo(full.dtype).eps
-    too_small = (lengths2 < min_len).any(axis=-1)
-    finite = jnp.isfinite(full).all(axis=(-1, -2))
-    full = jnp.where(finite[..., None, None], full, jnp.zeros_like(full))
-    mask = inside & same_side & ~blocked & ~too_small & finite
-    return full, mask
+from tests.reference_oracle.refchain import ref_amplitudes, ref_trace  # noqa: E402
 
 
 @pytest.mark.parametrize("order", [1, 2])
@@ -258,75 +220,22 @@ def test_power_gradient_wrt_eta_matches_reference(ref, scene):
 
 
 def _ref_amplitudes(ref, scene, paths, eta_r, conductivity):
-    """Reference per-path complex amplitude, masked, via deepmimo.export math.
+    """Reference per-path complex amplitude, masked (see refchain.py).
 
-    Calls export() and reassembles `a` from (power, phase) is lossy under
-    grad, so replicate the final scalar combination exactly instead:
-    export's per-path `a` equals the chain it computes before the dBW
-    conversion. We recompute it with reference functions only.
+    export() converts to dBW, which is lossy under grad — this replicates
+    its per-path `a` with reference functions only.
     """
-    dmod = ref["deepmimo"]
-    gu = ref["geometry_utils"]
-    emu = ref["em_utils"]
-
-    mesh = scene.mesh
-    omega = 2.0 * jnp.pi * FREQUENCY
-    epsilon_complex = eta_r - 1j * conductivity / (omega * em.epsilon_0)
-    n_complex = jnp.sqrt(epsilon_complex)
-    wavelength = em.c / FREQUENCY
-
-    segs = jnp.diff(paths.vertices, axis=-2)
-    k, s = gu.normalize(segs, keepdims=True)
-    theta_hat, phi_hat = dmod._spherical_basis(k)
-    e_field = jnp.stack(
-        [jnp.ones(theta_hat[..., 0, :].shape[:-1]), jnp.zeros(theta_hat[..., 0, :].shape[:-1])],
-        axis=-1,
-    ).astype(complex)[..., None]
-
-    obj = paths.objects[..., 1:-1]
-    mat_idx = jnp.take(mesh.face_materials, obj, axis=0)
-    n = jnp.take(mesh.normals, obj, axis=0)
-    k_in, k_out = k[..., :-1, :], k[..., 1:, :]
-    n_r_val = jnp.take(n_complex, mat_idx, axis=0)
-    thick = jnp.full(n_r_val.shape, -1.0)
-    (e_i_s, e_i_p), (e_r_s, e_r_p) = emu.sp_directions(k_in, k_out, n)
-    cos_ti = jnp.sum(n * -k_in, axis=-1)
-    r_s, r_p = dmod._get_reflection_coefficients(n_r_val, cos_ti, thick, wavelength)
-    in_rot = emu.sp_rotation_matrix(
-        theta_hat[..., :-1, :], phi_hat[..., :-1, :], e_i_s, e_i_p
+    return ref_amplitudes(
+        ref,
+        vertices=paths.vertices,
+        objects=paths.objects[..., 1:-1],
+        mask=paths.mask,
+        face_materials=scene.mesh.face_materials,
+        face_normals=scene.mesh.normals,
+        frequency=FREQUENCY,
+        eta_r=eta_r,
+        conductivity=conductivity,
     )
-    out_rot = emu.sp_rotation_matrix(
-        e_r_s, e_r_p, theta_hat[..., 1:, :], phi_hat[..., 1:, :]
-    )
-    zero = jnp.zeros_like(r_s)
-    d_j = jnp.stack(
-        [jnp.stack([r_s, zero], axis=-1), jnp.stack([zero, r_p], axis=-1)], axis=-2
-    )
-    j_mat = jnp.matmul(out_rot, jnp.matmul(d_j, in_rot))
-    order = obj.shape[-1]
-    import functools
-
-    j_total = functools.reduce(
-        lambda x, y: jnp.matmul(y, x),
-        [j_mat[..., j, :, :] for j in range(order)],
-    )
-    e_field = jnp.matmul(j_total, e_field)[..., 0]
-
-    theta_last = theta_hat[..., -1, :]
-    theta_neg = dmod._spherical_basis(-k[..., -1, :])[0]
-    a_coeff = jnp.sum(theta_last * theta_neg, axis=-1)
-    u = jnp.stack([a_coeff, jnp.zeros_like(a_coeff)], axis=-1)
-    a_r = jnp.sum(u * e_field, axis=-1)
-    s_tot = s.sum(axis=-2)
-    from differt_tpu.utils import safe_divide
-
-    spreading = safe_divide(jnp.asarray(1.0), s_tot)
-    phase_val = -2.0 * jnp.pi * FREQUENCY * s_tot / em.c
-    a_r = a_r * (spreading * jax.lax.complex(jnp.cos(phase_val), jnp.sin(phase_val)))[
-        ..., 0
-    ]
-    a_r = a_r * wavelength / (4 * jnp.pi)
-    return jnp.where(paths.mask, a_r, 0.0)
 
 
 def test_ref_amplitude_helper_matches_export(ref, scene):

@@ -190,3 +190,64 @@ class TestTxPattern:
         np.testing.assert_allclose(
             float((p_hw / p_iso)[0, 0]), 1.640922, rtol=1e-4
         )
+
+
+class TestPowerMapChunked:
+    """Streaming power map == dense power map, for any tile sizes."""
+
+    @pytest.mark.parametrize("coherent", [True, False])
+    @pytest.mark.parametrize("candidate_chunk,rx_chunk", [(7, 3), (4096, 4096)])
+    def test_matches_dense(self, coherent, candidate_chunk, rx_chunk):
+        from differt_tpu.coverage import power_map, power_map_chunked
+        from differt_tpu.scenes import street_canyon_scene
+        import differt_tpu.treekit as tk
+
+        scene = street_canyon_scene(with_ground=True)
+        scene = tk.tree_at(
+            lambda s: (s.transmitters, s.receivers),
+            scene,
+            (
+                jnp.array([[-30.0, 0.0, 5.0]]),
+                jnp.stack(
+                    jnp.meshgrid(
+                        jnp.linspace(-20.0, 20.0, 5),
+                        jnp.linspace(-6.0, 6.0, 4),
+                    )
+                    + [jnp.full((4, 5), 1.5)],
+                    axis=-1,
+                ),
+            ),
+        )
+        dense = power_map(scene, 2.4e9, order=1, coherent=coherent)
+        chunked = power_map_chunked(
+            scene,
+            2.4e9,
+            order=1,
+            coherent=coherent,
+            candidate_chunk=candidate_chunk,
+            rx_chunk=rx_chunk,
+        )
+        assert chunked.shape == dense.shape
+        chex.assert_trees_all_close(chunked, dense, rtol=1e-5, atol=1e-24)
+
+    def test_pruned_candidates_input(self):
+        from differt_tpu.coverage import power_map_chunked
+        from differt_tpu.geometry import generate_all_path_candidates
+        from differt_tpu.scenes import street_canyon_scene
+        import differt_tpu.treekit as tk
+        import numpy as np
+
+        scene = street_canyon_scene(with_ground=True)
+        scene = tk.tree_at(
+            lambda s: (s.transmitters, s.receivers),
+            scene,
+            (jnp.array([[-30.0, 0.0, 5.0]]), jnp.array([[20.0, 3.0, 1.5]])),
+        )
+        cands = np.asarray(
+            generate_all_path_candidates(scene.mesh.num_triangles, 2)
+        )[::3]
+        out = power_map_chunked(
+            scene, 2.4e9, path_candidates=cands, candidate_chunk=64
+        )
+        assert out.shape == (1, 1)
+        assert np.isfinite(np.asarray(out)).all()

@@ -162,3 +162,86 @@ def test_sionna_cli_list_and_path(tmp_path, monkeypatch, capsys) -> None:
     assert main(["path", "demo", "--folder", str(tmp_path)]) == 0
     out = capsys.readouterr().out.strip()
     assert out.endswith("demo.xml")
+
+
+class TestSceneExport:
+    """Round-trip: procedural scene -> Sionna-format scene.xml + PLY -> load."""
+
+    def test_save_ply_roundtrip(self, tmp_path) -> None:
+        from differt_tpu.geometry import Mesh
+        from differt_tpu.io import load_ply, save_ply
+
+        mesh = Mesh.box(2.0, 3.0, 4.0, with_top=True)
+        save_ply(mesh, tmp_path / "box.ply")
+        back = load_ply(tmp_path / "box.ply")
+        np.testing.assert_allclose(
+            np.asarray(back.vertices), np.asarray(mesh.vertices)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(back.triangles), np.asarray(mesh.triangles)
+        )
+
+    def test_export_scene_xml_roundtrip(self, tmp_path) -> None:
+        from differt_tpu.geometry import Scene
+        from differt_tpu.io import export_scene_xml
+        from differt_tpu.scenes import street_canyon_scene
+
+        scene = street_canyon_scene(with_ground=True)
+        mesh = scene.mesh.set_materials("itu_concrete")
+        xml_path = export_scene_xml(mesh, tmp_path / "canyon")
+        assert xml_path.name == "scene.xml"
+
+        loaded = Scene.load_xml(xml_path).mesh
+        assert loaded.num_triangles == mesh.num_triangles
+        # Vertex sharing across objects is lost in per-shape files (as in
+        # the reference loader); geometry must be identical per triangle,
+        # and triangle order is preserved.
+        np.testing.assert_allclose(
+            np.asarray(loaded.triangle_vertices),
+            np.asarray(mesh.triangle_vertices),
+            atol=1e-6,
+        )
+        assert loaded.material_names == ("itu_concrete",)
+        assert loaded.face_materials is not None
+        assert np.all(np.asarray(loaded.face_materials) == 0)
+        # ITU display color attached from the bsdf type.
+        assert loaded.face_colors is not None
+        np.testing.assert_allclose(
+            np.asarray(loaded.face_colors)[0], [0.539, 0.539, 0.539], atol=1e-6
+        )
+        # One object per exported shape.
+        assert loaded.object_bounds is not None
+        num_objects = (
+            len(list(mesh.iter_objects())) if mesh.object_bounds is not None else 1
+        )
+        assert loaded.object_bounds.shape[0] == num_objects
+
+    def test_export_traces_same_paths(self, tmp_path) -> None:
+        """The round-tripped scene traces identical order-1 paths."""
+        import jax.numpy as jnp
+
+        from differt_tpu import treekit as tk
+        from differt_tpu.geometry import Scene
+        from differt_tpu.io import export_scene_xml
+        from differt_tpu.scenes import street_canyon_scene
+
+        base = street_canyon_scene(with_ground=True)
+        tx = jnp.array([[-30.0, 0.0, 5.0]])
+        rx = jnp.array([[20.0, 3.0, 1.5]])
+        scene = tk.tree_at(
+            lambda s: (s.transmitters, s.receivers), base, (tx, rx)
+        )
+        xml_path = export_scene_xml(scene.mesh.set_materials("itu_concrete"),
+                                    tmp_path / "rt")
+        scene2 = Scene.load_xml(xml_path)
+        scene2 = tk.tree_at(
+            lambda s: (s.transmitters, s.receivers), scene2, (tx, rx)
+        )
+        p1 = scene.trace_paths(order=1)
+        p2 = scene2.trace_paths(order=1)
+        assert int(p1.num_valid_paths) == int(p2.num_valid_paths) > 0
+        np.testing.assert_allclose(
+            np.asarray(p1.masked_vertices),
+            np.asarray(p2.masked_vertices),
+            atol=1e-5,
+        )

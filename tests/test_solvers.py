@@ -231,3 +231,92 @@ def test_multi_order_deepmimo_export(corridor_scene: Scene) -> None:
     )
     num = 1 + scene.mesh.num_primitives
     assert out.power.shape == (1, 1, num)
+
+
+class TestChunkedCandidateFiltering:
+    """The pure-JAX pruning fallbacks must stream, not materialize."""
+
+    def test_hybrid_fallback_matches_native(self, monkeypatch):
+        """Force the non-native path; candidates must match the native DFS."""
+        import numpy as np
+
+        import differt_tpu.native as native
+        from differt_tpu.scenes import street_canyon_scene
+        import differt_tpu.treekit as tk
+
+        scene = street_canyon_scene(with_ground=True)
+        scene = tk.tree_at(
+            lambda s: (s.transmitters, s.receivers),
+            scene,
+            (jnp.array([[-30.0, 0.0, 5.0]]), jnp.array([[20.0, 3.0, 1.5]])),
+        )
+        solver = HybridPathTracer(num_rays=20000)
+        with_native, _ = solver.generate_path_candidates(scene, 2)
+        monkeypatch.setattr(native, "is_available", lambda: False)
+        without, _ = solver.generate_path_candidates(scene, 2)
+        np.testing.assert_array_equal(
+            np.asarray(with_native), np.asarray(without)
+        )
+
+    def test_hybrid_fallback_small_chunks(self, monkeypatch):
+        """Tiny chunk_size exercises the multi-chunk concat path."""
+        import numpy as np
+
+        import differt_tpu.native as native
+        from differt_tpu.geometry._candidates import (
+            generate_filtered_path_candidates,
+            generate_path_candidates,
+        )
+
+        full = np.asarray(generate_path_candidates(12, 3))
+        keep_even_first = lambda chunk: chunk[:, 0] % 2 == 0
+        got = np.asarray(
+            generate_filtered_path_candidates(
+                12, 3, keep_even_first, chunk_size=97
+            )
+        )
+        expected = full[full[:, 0] % 2 == 0]
+        np.testing.assert_array_equal(got, expected)
+
+    def test_warns_on_huge_space(self):
+        from differt_tpu.geometry._candidates import (
+            generate_filtered_path_candidates,
+        )
+
+        with pytest.warns(UserWarning, match="chunked"):
+            generate_filtered_path_candidates(
+                40,
+                2,
+                lambda chunk: chunk[:, 0] < 2,
+                warn_above=100,
+            )
+
+    def test_disconnect_inactive_triangles_chunked(self):
+        """Exhaustive pruning by mesh mask goes through the chunked path."""
+        import numpy as np
+
+        from differt_tpu.geometry import Mesh, Scene
+        import differt_tpu.treekit as tk
+
+        mesh = Mesh.box(2.0, 2.0, 2.0, with_top=True)
+        mask = jnp.arange(mesh.num_triangles) % 3 != 0
+        mesh = tk.tree_at(
+            lambda m: m.mask, mesh, mask, is_leaf=lambda x: x is None
+        )
+        scene = Scene(
+            transmitters=jnp.array([[0.0, 0.0, 0.0]]),
+            receivers=jnp.array([[0.5, 0.2, 0.0]]),
+            mesh=mesh,
+        )
+        solver = ExhaustivePathTracer(disconnect_inactive_triangles=True)
+        cands, _ = solver.generate_path_candidates(scene, 2)
+        cands = np.asarray(cands)
+        mask_np = np.asarray(mask)
+        assert cands.shape[0] > 0
+        assert mask_np[cands].all()
+        # Equals brute-force filtering of the full space.
+        from differt_tpu.geometry import generate_all_path_candidates
+
+        full = np.asarray(generate_all_path_candidates(mesh.num_triangles, 2))
+        expected = full[mask_np[full].all(axis=-1)]
+        np.testing.assert_array_equal(cands, expected)
