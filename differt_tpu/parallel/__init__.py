@@ -12,6 +12,7 @@ all-reduced automatically by XLA over ICI during the backward pass.
 
 from ._sharding import (
     make_device_mesh,
+    placement_training_step,
     replicate,
     shard_along,
     sharded_power_map,
@@ -21,6 +22,7 @@ from ._sharding import (
 
 __all__ = [
     "make_device_mesh",
+    "placement_training_step",
     "replicate",
     "shard_along",
     "sharded_power_map",

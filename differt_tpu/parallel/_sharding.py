@@ -44,7 +44,7 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
             return jax.device_put(jnp.asarray(x), sharding)
         return x
 
-    return jax.tree_util.tree_map(put)(tree) if False else jax.tree_util.tree_map(put, tree)
+    return jax.tree_util.tree_map(put, tree)
 
 
 def sharded_trace_paths(
@@ -194,3 +194,57 @@ def training_step(
 
     loss, grad = jax.value_and_grad(loss_fn)(eta_r)
     return eta_r - learning_rate * grad, loss
+
+
+def placement_training_step(
+    scene: Scene,
+    frequency: Float[ArrayLike, ""],
+    mesh: Mesh,
+    *,
+    order: int,
+    tx: Float[Array, "num_tx 3"],
+    eta_r: Float[Array, " num_materials"],
+    conductivity: Float[Array, " num_materials"],
+    target_power: Float[Array, "..."] | None = None,
+    tx_learning_rate: float = 1e-1,
+    eta_learning_rate: float = 1e-2,
+) -> tuple[Float[Array, "num_tx 3"], Float[Array, " num_materials"], Float[Array, ""]]:
+    """One SPMD gradient step on TX positions AND material permittivity.
+
+    The BASELINE config-5 pattern: the RX axis is sharded across the
+    device mesh; TX positions and ``eta_r`` are replicated, so XLA
+    all-reduces their gradients over ICI as part of the backward pass.
+    Gradients flow into the TX coordinates through the image method (path
+    geometry depends on TX) and the EM chain (departure directions,
+    spreading, phase); path-validity masks are boolean and act as frozen
+    selectors, exactly as in the reference's differentiability contract.
+
+    With ``target_power`` (dB), minimizes the dB MSE; without it,
+    maximizes mean received power over the RX grid (coverage-optimal TX
+    placement).
+    """
+
+    def loss_fn(params: dict[str, Array]) -> Array:
+        import differt_tpu.treekit as tk
+
+        s = tk.tree_at(lambda sc: sc.transmitters, scene, params["tx"])
+        power = sharded_power_map(
+            s,
+            frequency,
+            mesh,
+            order=order,
+            eta_r=params["eta_r"],
+            conductivity=conductivity,
+        )
+        power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
+        if target_power is not None:
+            return jnp.mean((power_db - target_power) ** 2)
+        return -jnp.mean(power_db)
+
+    params = {"tx": tx, "eta_r": eta_r}
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    return (
+        tx - tx_learning_rate * grads["tx"],
+        eta_r - eta_learning_rate * grads["eta_r"],
+        loss,
+    )

@@ -91,3 +91,141 @@ def test_training_step_runs_and_descends(scene: Scene) -> None:
         learning_rate=1e-2,
     )
     assert float(loss1) <= float(loss0)
+
+
+class TestPlacementTraining:
+    """TX-position gradients through the sharded pipeline (config 5)."""
+
+    def test_tx_gradient_matches_single_device(self, scene: Scene) -> None:
+        from differt_tpu.coverage import power_map
+        from differt_tpu.parallel import placement_training_step
+        import differt_tpu.treekit as tk
+
+        mesh = make_device_mesh()
+        tx0 = scene.transmitters.reshape(-1, 3)
+        eta0 = jnp.array([5.24])
+        cond = jnp.array([0.1])
+
+        new_tx, new_eta, loss = placement_training_step(
+            scene, FREQUENCY, mesh, order=1, tx=tx0, eta_r=eta0,
+            conductivity=cond, tx_learning_rate=1.0, eta_learning_rate=1.0,
+        )
+        assert jnp.isfinite(loss)
+        g_tx_sharded = tx0 - new_tx  # lr=1 -> update equals the gradient
+        g_eta_sharded = eta0 - new_eta
+
+        # Single-device oracle: same loss, plain power_map, jax.grad.
+        def loss_fn(params):
+            s = tk.tree_at(lambda sc: sc.transmitters, scene, params["tx"])
+            p = power_map(
+                s, FREQUENCY, order=1, eta_r=params["eta_r"], conductivity=cond
+            )
+            return -jnp.mean(10.0 * jnp.log10(jnp.maximum(p, 1e-30)))
+
+        g = jax.grad(loss_fn)({"tx": tx0, "eta_r": eta0})
+        assert jnp.any(g["tx"] != 0.0)
+        chex.assert_trees_all_close(g_tx_sharded, g["tx"], rtol=1e-4, atol=1e-2)
+        chex.assert_trees_all_close(g_eta_sharded, g["eta_r"], rtol=1e-4, atol=1e-7)
+
+    def test_placement_descends_toward_target(self, scene: Scene) -> None:
+        """A few steps of TX placement reduce the dB-MSE to a target map."""
+        from differt_tpu.parallel import placement_training_step, sharded_power_map
+
+        mesh = make_device_mesh()
+        eta = jnp.array([5.24])
+        cond = jnp.array([0.1])
+        tx_true = scene.transmitters.reshape(-1, 3)
+        target = 10.0 * jnp.log10(
+            jnp.maximum(
+                sharded_power_map(
+                    scene, FREQUENCY, mesh, order=1, eta_r=eta, conductivity=cond
+                ),
+                1e-30,
+            )
+        )
+        tx0 = tx_true + jnp.array([[2.0, 1.0, 0.0]])
+
+        def loss_at(tx):
+            _, _, loss = placement_training_step(
+                scene, FREQUENCY, mesh, order=1, tx=tx, eta_r=eta,
+                conductivity=cond, target_power=target,
+                tx_learning_rate=0.0, eta_learning_rate=0.0,
+            )
+            return float(loss)
+
+        new_tx, _, loss0 = placement_training_step(
+            scene, FREQUENCY, mesh, order=1, tx=tx0, eta_r=eta,
+            conductivity=cond, target_power=target,
+            tx_learning_rate=1.0, eta_learning_rate=0.0,
+        )
+        grad = tx0 - new_tx  # lr=1 -> update equals the gradient
+        assert np.isfinite(float(loss0)) and jnp.any(grad != 0.0)
+        # The TX gradient is a descent direction: a small enough step along
+        # -grad must reduce the dB-MSE (the landscape is only piecewise
+        # smooth — mask flips — so multi-step fixed-lr GD may oscillate).
+        assert any(
+            loss_at(tx0 - lr * grad) < float(loss0)
+            for lr in (1e-3, 1e-4, 1e-5, 1e-6)
+        )
+
+
+class TestMultiProcessDistributed:
+    """Real 2-process jax.distributed run on CPU (SURVEY section 4 pattern).
+
+    Two OS processes x 4 virtual devices = 8 global devices; the RX axis
+    is sharded ACROSS the process boundary and replicated-parameter
+    gradients must all-reduce to identical values in both processes.
+    """
+
+    def test_two_process_gradients_agree(self, tmp_path) -> None:
+        import re
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = str(
+            __import__("pathlib").Path(__file__).parent / "_distributed_worker.py"
+        )
+        env = {
+            k: v
+            for k, v in __import__("os").environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        }
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(port), str(i)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("distributed worker timed out")
+            outs.append(out)
+        if any("INIT_FAILED" in o for o in outs):
+            pytest.skip(f"multi-process CPU unsupported here: {outs}")
+        results = []
+        for out in outs:
+            m = re.search(
+                r"RESULT loss=(\S+) gtx0=(\S+) geta=(\S+)", out
+            )
+            assert m, f"worker output missing RESULT line:\n{out}"
+            results.append(tuple(float(g) for g in m.groups()))
+        # Replicated gradients identical across processes.
+        for a, b in zip(results[0], results[1]):
+            assert a == pytest.approx(b, rel=1e-6), (results, outs)
+        # And non-trivial.
+        assert results[0][1] != 0.0
+        assert results[0][2] != 0.0
