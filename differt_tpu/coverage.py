@@ -261,10 +261,28 @@ def power_map(
     ``with_scattering=True``, single-bounce diffuse scattering power
     (Degli-Esposti effective roughness, Lambertian pattern) is added
     incoherently — scattered phases are random in nature, so its power
-    adds regardless of ``coherent``. ``mixed_signatures`` (a sequence of
-    interaction-type tuples, e.g. ``[(REFLECTION, DIFFRACTION)]``) adds
-    mixed reflection/diffraction chains via the Fermat-based
-    :class:`differt_tpu.rt.MixedPathTracer`.
+    adds regardless of ``coherent``; the specular amplitudes are scaled by
+    ``sqrt(1 - S^2)`` per bounce so total energy is conserved.
+    ``mixed_signatures`` (a sequence of interaction-type tuples, e.g.
+    ``[(REFLECTION, DIFFRACTION)]``) adds mixed reflection/diffraction
+    chains via the Fermat-based :class:`differt_tpu.rt.MixedPathTracer`.
+
+    Examples:
+        Ground-bounce coverage inside an open box:
+
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.coverage import power_map
+        >>> from differt_tpu.geometry import Mesh, Scene
+        >>> mesh = Mesh.box(20.0, 10.0, 6.0, with_top=False)
+        >>> scene = Scene(
+        ...     transmitters=jnp.array([[-5.0, 0.0, 1.0]]),
+        ...     mesh=mesh.set_materials("Concrete"),
+        ... ).with_receivers_grid(4, 2, height=1.0)
+        >>> power = power_map(scene, 2.4e9, order=1)
+        >>> power.shape
+        (1, 2, 4)
+        >>> bool(jnp.all(power > 0.0))
+        True
     """
     eta_r, conductivity, thickness = _resolve_materials(
         scene, frequency, eta_r, conductivity, thickness

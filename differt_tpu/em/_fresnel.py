@@ -17,7 +17,13 @@ def refractive_index(
     epsilon_r: Inexact[ArrayLike, " *#batch"],
     mu_r: Inexact[ArrayLike, " *#batch"] | None = None,
 ) -> Inexact[Array, " *batch"]:
-    r"""Refractive index ``n = sqrt(epsilon_r * mu_r)`` (mu_r defaults to 1)."""
+    r"""Refractive index ``n = sqrt(epsilon_r * mu_r)`` (mu_r defaults to 1).
+
+    Examples:
+        >>> from differt_tpu.em import refractive_index
+        >>> float(refractive_index(4.0))
+        2.0
+    """
     epsilon_r = jnp.asarray(epsilon_r)
     return jnp.sqrt(epsilon_r if mu_r is None else epsilon_r * jnp.asarray(mu_r))
 
@@ -34,6 +40,19 @@ def fresnel_coefficients(
 
     ``n_r`` is the relative refractive index (second medium over first);
     ``cos_theta_i`` the cosine of the incidence angle (absolute value taken).
+
+    Examples:
+        At normal incidence on glass (n = 1.5): ``r = (1 - n)/(1 + n) = -0.2``
+        for s polarization and ``+0.2`` for p (sign convention), and
+        ``t = 2/(1 + n) = 0.8``.
+
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.em import fresnel_coefficients
+        >>> (r_s, r_p), (t_s, t_p) = fresnel_coefficients(1.5, jnp.array(1.0))
+        >>> round(float(r_s.real), 3), round(float(r_p.real), 3)
+        (-0.2, 0.2)
+        >>> round(float(t_s.real), 3)
+        0.8
     """
     cos_theta_i = jnp.abs(jnp.asarray(cos_theta_i))
     n_r = jnp.asarray(n_r)

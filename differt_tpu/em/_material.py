@@ -26,7 +26,17 @@ ItuProperties = tuple[Any, Any, Any, Any, "tuple[Any, Any] | None"]
 
 
 class Material(eqx.Module):
-    """A material with frequency-dependent electrical properties."""
+    """A material with frequency-dependent electrical properties.
+
+    Examples:
+        The built-in ITU-R P.2040-4 registry resolves names and aliases:
+
+        >>> from differt_tpu.em import materials
+        >>> round(float(materials["itu_concrete"].relative_permittivity(3e9)), 2)
+        5.24
+        >>> materials["itu_concrete"].name  # the itu_* alias resolves
+        'Concrete'
+    """
 
     name: str = eqx.field(static=True)
     """Material name."""

@@ -98,6 +98,15 @@ def F(z: Float[ArrayLike, " *batch"]) -> Complex[Array, " *batch"]:  # noqa: N80
 
     ``F(x) = 2j sqrt(x) e^{jx} int_sqrt(x)^inf e^{-ju^2} du``
     (McNamara eq. 4.72). Reference parity: em/_utd.py:163-222.
+
+    Examples:
+        ``F`` approaches 1 for large arguments (no transition-region
+        correction far from shadow boundaries):
+
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.em import F
+        >>> bool(jnp.abs(F(jnp.array(100.0)) - 1.0) < 1e-2)
+        True
     """
     z = jnp.asarray(z)
     factor = jnp.sqrt(jnp.pi / 2)

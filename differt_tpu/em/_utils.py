@@ -293,7 +293,13 @@ def fspl(
     *,
     dB: bool = False,  # noqa: N803
 ) -> Float[Array, " *batch"]:
-    """Free-space path loss, linear or in dB."""
+    """Free-space path loss, linear or in dB.
+
+    Examples:
+        >>> from differt_tpu.em import fspl
+        >>> round(float(fspl(1000.0, 2.4e9, dB=True)), 2)  # 1 km at 2.4 GHz
+        100.05
+    """
     d = jnp.asarray(d)
     f = jnp.asarray(f)
     if dB:

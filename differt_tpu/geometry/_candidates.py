@@ -58,6 +58,13 @@ def count_path_candidates(num_primitives: int, order: int) -> int:
 
     ``N * (N-1)**(order-1)`` for ``order >= 1``, 1 for ``order == 0``.
     Reference parity: graph.rs:313-377 / _utils.py:1069-1071.
+
+    Examples:
+        >>> from differt_tpu.geometry import count_path_candidates
+        >>> count_path_candidates(10, 2)
+        90
+        >>> count_path_candidates(10, 0)
+        1
     """
     if order < 0 or num_primitives <= 0:
         return 0
@@ -160,7 +167,13 @@ def generate_all_path_candidates(
     num_primitives: int,
     order: int,
 ) -> Int[Array, "num_candidates order"]:
-    """All path candidates at once. Reference parity: _utils.py:1047-1081."""
+    """All path candidates at once. Reference parity: _utils.py:1047-1081.
+
+    Examples:
+        >>> from differt_tpu.geometry import generate_all_path_candidates
+        >>> generate_all_path_candidates(3, 2).tolist()
+        [[0, 1], [0, 2], [1, 0], [1, 2], [2, 0], [2, 1]]
+    """
     return generate_path_candidates(num_primitives, order)
 
 

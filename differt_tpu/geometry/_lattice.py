@@ -45,6 +45,15 @@ def fibonacci_lattice(
     With ``frustum`` given (min/max rows of ``(polar, azimuth)`` — a leading
     radial column is ignored), points are distributed uniformly in solid angle
     within the frustum. Reference parity: _utils.py:369-490.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.geometry import fibonacci_lattice
+        >>> pts = fibonacci_lattice(100)
+        >>> pts.shape
+        (100, 3)
+        >>> bool(jnp.allclose(jnp.linalg.norm(pts, axis=-1), 1.0, atol=1e-6))
+        True
     """
     if n <= 0:
         msg = f"Invalid size {n!r}, must be strictly positive."

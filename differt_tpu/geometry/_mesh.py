@@ -392,6 +392,14 @@ class Mesh(eqx.Module):
 
         Same vertex ordering as the reference (_mesh.py:2109-2217) so traced
         paths, object bounds and normals match exactly.
+
+        Examples:
+            >>> from differt_tpu.geometry import Mesh
+            >>> mesh = Mesh.box(2.0, 3.0, 4.0, with_top=True)
+            >>> mesh.num_triangles  # 6 faces x 2 triangles
+            12
+            >>> mesh.bounding_box.tolist()
+            [[-1.0, -1.5, -2.0], [1.0, 1.5, 2.0]]
         """
         dx = jnp.array([length * 0.5, 0.0, 0.0])
         dy = jnp.array([0.0, width * 0.5, 0.0])

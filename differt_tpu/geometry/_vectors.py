@@ -23,6 +23,15 @@ def normalize(
     Zero-length vectors are returned unchanged with a length of 0 (division by
     one instead of zero), so gradients stay finite at the origin.
     Reference parity: _utils.py:29-72.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.geometry import normalize
+        >>> unit, length = normalize(jnp.array([3.0, 0.0, 4.0]))
+        >>> unit.tolist(), float(length)
+        ([0.6000000238418579, 0.0, 0.800000011920929], 5.0)
+        >>> normalize(jnp.zeros(3))[1].tolist()  # zero-safe
+        0.0
     """
     vectors = jnp.asarray(vectors)
     lengths = jnp.linalg.norm(vectors, axis=-1, keepdims=True)
@@ -56,6 +65,13 @@ def orthogonal_basis(
     """Return unit vectors ``(v, w)`` forming an orthogonal basis with ``u``.
 
     Reference parity: _utils.py:111-146.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.geometry import orthogonal_basis
+        >>> v, w = orthogonal_basis(jnp.array([0.0, 0.0, 1.0]))
+        >>> float(jnp.dot(v, w)), float(jnp.linalg.norm(v))
+        (0.0, 1.0)
     """
     u = jnp.asarray(u)
     w = perpendicular_vector(u)
@@ -70,6 +86,13 @@ def path_length(
     """Total Euclidean length of each polyline path.
 
     Reference parity: _utils.py:149-181.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.geometry import path_length
+        >>> path = jnp.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0], [3.0, 4.0, 0.0]])
+        >>> float(path_length(path))
+        7.0
     """
     path = jnp.asarray(path)
     segments = jnp.diff(path, axis=-2)

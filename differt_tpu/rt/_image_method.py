@@ -107,6 +107,21 @@ def image_method(
     :func:`assemble_path` to add the endpoints). Invalid configurations
     produce non-finite vertices. Reference parity:
     _solver_image_method.py:206-363.
+
+    Examples:
+        A single mirror in the plane ``x = 1`` (normal along z): the unique
+        specular bounce between ``(0, 0, 1)`` and ``(2, 0, 1)`` is at the
+        midpoint on the mirror plane.
+
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.rt import image_method
+        >>> image_method(
+        ...     jnp.array([0.0, 0.0, 1.0]),
+        ...     jnp.array([2.0, 0.0, 1.0]),
+        ...     jnp.array([[1.0, 0.0, 0.0]]),
+        ...     jnp.array([[0.0, 0.0, 1.0]]),
+        ... ).tolist()
+        [[1.0, 0.0, 0.0]]
     """
     from_vertex = jnp.asarray(from_vertex)
     to_vertex = jnp.asarray(to_vertex)

@@ -30,6 +30,16 @@ def ray_intersect_triangle(
 
     ``epsilon`` defaults to ``10 * eps(dtype)`` (dtype-derived, per the
     reference convention so float32-TPU and float64-CPU agree after scaling).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.rt import ray_intersect_triangle
+        >>> tri = jnp.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        >>> t, hit = ray_intersect_triangle(
+        ...     jnp.array([0.2, 0.2, 1.0]), jnp.array([0.0, 0.0, -2.0]), tri
+        ... )
+        >>> float(t), bool(hit)
+        (0.5, True)
     """
     ray_origins = jnp.asarray(ray_origins)
     ray_directions = jnp.asarray(ray_directions)

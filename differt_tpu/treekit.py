@@ -184,6 +184,17 @@ def tree_at(
     argument (e.g. ``lambda m: m.vertices`` or
     ``lambda s: (s.mesh.vertices, s.transmitters)``). ``replace`` is the new
     value, or a tuple of values matching a tuple of targets.
+
+    Examples:
+        >>> from differt_tpu import treekit as tk
+        >>> class Point(tk.Module):
+        ...     x: float
+        ...     y: float
+        >>> p = Point(1.0, 2.0)
+        >>> tk.tree_at(lambda q: q.y, p, 5.0)
+        Point(x=1.0, y=5.0)
+        >>> p.y  # immutable: the original is unchanged
+        2.0
     """
     del is_leaf
     selected = where(_PathProxy())

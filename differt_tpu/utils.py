@@ -37,6 +37,12 @@ def safe_divide(
     """Elementwise division that returns 0 where the denominator is 0.
 
     Reference parity: ``differt.utils.safe_divide`` (utils.py:36-67).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.utils import safe_divide
+        >>> safe_divide(jnp.array([1.0, 2.0, 3.0]), jnp.array([2.0, 0.0, 1.0])).tolist()
+        [0.5, 0.0, 3.0]
     """
     num = jnp.asarray(num)
     den = jnp.asarray(den)
@@ -57,6 +63,14 @@ def smoothing_function(
     This is the differentiable-RT relaxation used to replace hard hit/validity
     tests with soft confidence values (reference: utils.py:70-89; per the
     fully-eucap2024 technique).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.utils import smoothing_function
+        >>> float(smoothing_function(jnp.array(0.0)))
+        0.5
+        >>> bool(smoothing_function(jnp.array(4.0), 10.0) > 0.99)
+        True
     """
     return jax.nn.sigmoid(jnp.asarray(x) * smoothing_factor)
 

@@ -1,0 +1,39 @@
+"""Executable docstring examples (reference parity: --doctest-modules over
+every public module, differt/pyproject.toml:197-199).
+
+Each listed module must contain at least one doctest example and all of
+them must pass. Examples are written against stable printable values
+(.tolist(), float(), bool()) so they do not depend on array repr details.
+"""
+
+import doctest
+
+import pytest
+
+MODULE_NAMES = [
+    "differt_tpu.utils",
+    "differt_tpu.geometry._vectors",
+    "differt_tpu.geometry._lattice",
+    "differt_tpu.geometry._candidates",
+    "differt_tpu.rt._image_method",
+    "differt_tpu.rt._triangle",
+    "differt_tpu.em._fresnel",
+    "differt_tpu.em._material",
+    "differt_tpu.em._utils",
+    "differt_tpu.em._utd",
+    "differt_tpu.geometry._mesh",
+    "differt_tpu.coverage",
+    "differt_tpu.treekit",
+]
+
+
+@pytest.mark.parametrize("name", MODULE_NAMES)
+def test_module_doctests(name):
+    module = __import__(name, fromlist=["_"])
+    results = doctest.testmod(
+        module,
+        optionflags=doctest.NORMALIZE_WHITESPACE | doctest.ELLIPSIS,
+        verbose=False,
+    )
+    assert results.failed == 0, f"{results.failed} doctest failures in {name}"
+    assert results.attempted > 0, f"{name} has no doctest examples"
