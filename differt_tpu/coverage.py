@@ -497,6 +497,19 @@ def power_map_chunked(
 
     num_rx = rx_all.shape[0]
     rx_chunk = min(rx_chunk, max(num_rx, 1))
+
+    # Spatially-compact RX tiles: Morton-order the receivers so each chunk
+    # is a square-ish block instead of a long raster strip. Narrow RX
+    # bundles make the blockage-culling slab tests in the Pallas trace
+    # kernel skip far more triangle tiles (measured ~1.5x px/s on the
+    # bruxelles city mesh); the output is scattered back to input order.
+    rx_perm = None
+    if num_rx > rx_chunk:
+        from .ops._pallas_rt import morton_perm_points
+
+        rx_perm = morton_perm_points(rx_all)
+        rx_all = jnp.take(rx_all, rx_perm, axis=0)
+
     pad_r = (-num_rx) % rx_chunk
     if pad_r:
         rx_all = jnp.concatenate(
@@ -550,5 +563,7 @@ def power_map_chunked(
         out_tiles.append(acc)
 
     total = jnp.concatenate(out_tiles, axis=-1)[..., :num_rx]
+    if rx_perm is not None:
+        total = jnp.take(total, jnp.argsort(rx_perm), axis=-1)
     power = (jnp.abs(total) ** 2 / z_0) if coherent else (total / z_0)
     return power.reshape(*tx_batch, *rx_batch)

@@ -8,6 +8,7 @@ runs natively on device: Pallas TPU kernels when available, with the
 pure-JAX tiled kernels of :mod:`differt_tpu.rt` as a portable fallback.
 """
 
+import warnings
 from collections.abc import Iterator
 from os import PathLike
 from typing import Any
@@ -21,6 +22,19 @@ from ._vectors import normalize, orthogonal_basis, rotation_matrix_along_axis
 
 
 _AT_KWARGS = {"mode": "drop", "wrap_negative_indices": False}
+
+
+def _warn_non_manifold_edges(count) -> None:
+    """Host-side warning hook for :meth:`Mesh._connectivity`."""
+    count = int(count)
+    if count:
+        warnings.warn(
+            f"Mesh contains {count} non-manifold edge(s): more than two"
+            " faces share the same pair of vertices. These edges are"
+            " excluded from diffraction-edge extraction.",
+            UserWarning,
+            stacklevel=2,
+        )
 
 
 class _MeshVerticesUpdateRef:
@@ -130,9 +144,9 @@ class Mesh(eqx.Module):
     """Unique material names."""
     object_bounds: Int[Array, "num_objects 2"] | None = eqx.field(default=None)
     """Start/end triangle indices of each sub-object (sorted, covering)."""
-    assume_quads: bool = eqx.field(default=False)
+    assume_quads: bool = eqx.field(default=False, static=True)
     """If set, each two consecutive triangles form a quadrilateral primitive."""
-    assume_unique_vertices: bool = eqx.field(default=False)
+    assume_unique_vertices: bool = eqx.field(default=False, static=True)
     """If set, vertices are assumed deduplicated (edge connectivity relies on it)."""
     mask: Bool[Array, " num_triangles"] | None = eqx.field(default=None)
     """Optional fixed-shape active-triangle mask (JIT-stable sub-meshes)."""
@@ -817,6 +831,19 @@ class Mesh(eqx.Module):
         group_counts = jnp.bincount(group_ids, length=n_half)
         pair_sizes = group_counts[group_ids]
         is_manifold = pair_sizes == 2
+
+        # Surface non-manifold geometry to the user (reference parity:
+        # _mesh.py:1047-1057 warns through jax.debug.callback so the check
+        # stays jit-compatible). Edges shared by >2 faces are silently
+        # excluded from diffraction, which is easy to misread as "no edges
+        # found" without this warning. Skipped on backends whose PJRT
+        # plugin cannot run host callbacks.
+        from differt_tpu.utils import supports_debug_callback
+
+        if supports_debug_callback():
+            jax.debug.callback(
+                _warn_non_manifold_edges, jnp.sum(group_counts > 2)
+            )
 
         partner_sorted = jnp.where(
             same_as_prev, jnp.arange(n_half) - 1, jnp.arange(n_half) + 1

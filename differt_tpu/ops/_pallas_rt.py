@@ -40,6 +40,105 @@ T_SUB = 64  # Triangle sublane-chunk size inside a tile.
 
 _NEG = -1.0  # Inactive-triangle marker handled via the active row.
 
+# Reciprocal clamp for the slab test: |d| below this is treated as +-1e-30,
+# giving huge-but-finite slab distances (no 0*inf NaNs, conservative).
+_SLAB_TINY = 1e-30
+
+
+def morton_perm_points(
+    points: Float[Array, "num_points 3"],
+) -> Int[Array, " num_points"]:
+    """Permutation sorting 3D points along a Morton (Z-order) curve.
+
+    Spatially-adjacent points land next to each other, which makes
+    fixed-size chunks of the sorted order spatially compact — the property
+    the AABB slab-test culling in these kernels relies on.
+    """
+    centroids = points
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    extent = jnp.where(hi > lo, hi - lo, 1.0)
+    q = ((centroids - lo) / extent * 1023.0).astype(jnp.uint32).clip(0, 1023)
+
+    def part1by2(x):
+        x = x & jnp.uint32(0x3FF)
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = (
+        part1by2(q[:, 0]) | (part1by2(q[:, 1]) << 1) | (part1by2(q[:, 2]) << 2)
+    )
+    return jnp.argsort(code).astype(jnp.int32)
+
+
+def _morton_perm(
+    triangle_vertices: Float[Array, "num_triangles 3 3"],
+) -> Int[Array, " num_triangles"]:
+    """Permutation sorting triangles along a 3D Morton (Z-order) curve.
+
+    Spatially-adjacent triangles land in the same ``T_SUB`` chunk, which
+    makes the per-chunk AABBs tight and the slab-test culling effective.
+    The reference gets the same locality from Warp's BVH build
+    (_mesh.py:142-223); a Morton sort is the TPU-friendly analogue — one
+    device sort at trace time instead of a pointer tree.
+    """
+    return morton_perm_points(triangle_vertices.mean(axis=1))
+
+
+def _chunk_aabbs(tris: Array, active: Array) -> Array:
+    """Per-``T_SUB``-chunk AABBs of the SoA triangle array.
+
+    ``tris`` is the padded ``[9, T]`` v0/e1/e2 layout, ``active`` the padded
+    ``[1, T]`` int mask (0 on padding and masked-out triangles). Returns an
+    ``[8, T // T_SUB]`` float32 array: rows 0-2 min xyz, rows 3-5 max xyz
+    (inflated by a relative margin so grazing rays cannot be culled by
+    rounding), rows 6-7 padding. Chunks with no active triangle get an
+    inverted (empty) box; callers must combine the slab test with an
+    any-active check.
+    """
+    v0 = tris[0:3]
+    v1 = tris[0:3] + tris[3:6]
+    v2 = tris[0:3] + tris[6:9]
+    ok = active[0] > 0  # [T]
+    mn = jnp.minimum(jnp.minimum(v0, v1), v2)  # [3, T]
+    mx = jnp.maximum(jnp.maximum(v0, v1), v2)
+    mn = jnp.where(ok, mn, jnp.inf).reshape(3, -1, T_SUB).min(axis=-1)
+    mx = jnp.where(ok, mx, -jnp.inf).reshape(3, -1, T_SUB).max(axis=-1)
+    extent = jnp.where(jnp.isfinite(mx), mx, -jnp.inf).max() - jnp.where(
+        jnp.isfinite(mn), mn, jnp.inf
+    ).min()
+    margin = 1e-5 * jnp.where(jnp.isfinite(extent), jnp.abs(extent), 0.0) + 1e-12
+    aabb = jnp.concatenate((mn - margin, mx + margin), axis=0)  # [6, chunks]
+    return _pad_to(aabb.astype(jnp.float32), 8, 0, 0.0)
+
+
+def _slab_overlap(o, d, box, t_hi):
+    """Conservative per-lane segment-vs-AABB slab test.
+
+    ``o``/``d`` are 3-lists of ``[1, R]`` lane vectors, ``box`` a 6-list of
+    scalars (min xyz, max xyz), ``t_hi`` the per-lane upper parameter bound
+    (broadcastable to ``[1, R]``). Never returns a false miss for a ray
+    whose ``[0, t_hi]`` segment touches the box.
+    """
+    tnear = jnp.zeros_like(o[0])
+    tfar = jnp.broadcast_to(t_hi, o[0].shape)
+    for c in range(3):
+        dc = d[c]
+        denom = jnp.where(
+            jnp.abs(dc) < _SLAB_TINY,
+            jnp.where(dc < 0.0, -_SLAB_TINY, _SLAB_TINY),
+            dc,
+        )
+        inv = 1.0 / denom
+        t1 = (box[c] - o[c]) * inv
+        t2 = (box[3 + c] - o[c]) * inv
+        tnear = jnp.maximum(tnear, jnp.minimum(t1, t2))
+        tfar = jnp.minimum(tfar, jnp.maximum(t1, t2))
+    return tnear <= tfar
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -115,7 +214,9 @@ def _ray_lanes(rays_ref):
     return o, d
 
 
-def _anyhit_kernel(rays_ref, tris_ref, active_ref, thresh_ref, out_ref, *, epsilon):
+def _anyhit_kernel(
+    rays_ref, tris_ref, active_ref, aabb_ref, thresh_ref, out_ref, *, epsilon
+):
     j = pl.program_id(1)
     tile_t = tris_ref.shape[1]
 
@@ -129,32 +230,64 @@ def _anyhit_kernel(rays_ref, tris_ref, active_ref, thresh_ref, out_ref, *, epsil
     def _compute():
         o, d = _ray_lanes(rays_ref)
         thresh = thresh_ref[0, :].reshape(1, -1)
-        for chunk in range(tile_t // T_SUB):
+        chunks_per_tile = tile_t // T_SUB
+        for chunk in range(chunks_per_tile):
             sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
+            # aabb_ref holds ALL chunks (one resident SMEM block); index
+            # globally — scalar dynamic loads are what SMEM is for.
+            g = j * chunks_per_tile + chunk
+            box = [aabb_ref[c, g] for c in range(6)]
+            # Slab-test the chunk's (Morton-tight) AABB: only rays whose
+            # still-unblocked segment overlaps the box need the 64 MT
+            # tests. Fully padded / masked-out chunks cost one reduce.
+            overlap = _slab_overlap(o, d, box, thresh) & jnp.logical_not(
+                out_ref[0, :].reshape(1, -1)
+            )
 
-            # Fully padded / masked-out chunks cost one reduce, not an MT.
-            @pl.when(jnp.any(active_ref[0, sl] > 0))
+            @pl.when(jnp.any(active_ref[0, sl] > 0) & jnp.any(overlap))
             def _chunk(sl=sl):
                 t, hit = _mt_chunk(o, d, tris_ref, active_ref, sl, epsilon)
                 out_ref[0, :] = out_ref[0, :] | (hit & (t < thresh)).any(axis=0)
 
 
 def _closest_kernel(
-    rays_ref, tris_ref, active_ref, idx_out_ref, t_out_ref, *, epsilon
+    rays_ref,
+    tris_ref,
+    active_ref,
+    aabb_ref,
+    idx_out_ref,
+    t_out_ref,
+    *,
+    epsilon,
+    num_rays,
 ):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     tile_t = tris_ref.shape[1]
+    tile_r = rays_ref.shape[1]
 
     @pl.when(j == 0)
     def _init():
         idx_out_ref[...] = jnp.full_like(idx_out_ref, -1)
-        t_out_ref[...] = jnp.full_like(t_out_ref, jnp.inf)
+        # Padded lanes start at -inf best-t: their slab interval is empty
+        # so they never veto the chunk culling (zero-filled rays sit at
+        # the origin and overlap every central chunk AABB otherwise), and
+        # `chunk_min <= -inf` keeps their index at -1.
+        lane = i * tile_r + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_r), 1
+        )
+        t_out_ref[...] = jnp.where(lane < num_rays, jnp.inf, -jnp.inf)
 
     o, d = _ray_lanes(rays_ref)
-    for chunk in range(tile_t // T_SUB):
+    chunks_per_tile = tile_t // T_SUB
+    for chunk in range(chunks_per_tile):
         sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
+        box = [aabb_ref[c, j * chunks_per_tile + chunk] for c in range(6)]
+        # A chunk can only improve a ray whose slab interval starts before
+        # that ray's current best hit — cull against the running minimum.
+        overlap = _slab_overlap(o, d, box, t_out_ref[0, :].reshape(1, -1))
 
-        @pl.when(jnp.any(active_ref[0, sl] > 0))
+        @pl.when(jnp.any(active_ref[0, sl] > 0) & jnp.any(overlap))
         def _chunk(sl=sl, chunk=chunk):
             t, hit = _mt_chunk(o, d, tris_ref, active_ref, sl, epsilon)
             t = jnp.where(hit, t, jnp.inf)
@@ -203,6 +336,12 @@ def _prepare(
     rays = jnp.concatenate((ray_origins, ray_directions), axis=-1).T  # [6, R]
     rays = _pad_to(rays, rays_padded, 1, 0.0)
 
+    # Morton-sort so each T_SUB chunk is spatially tight, making the
+    # per-chunk AABB culling effective. ``perm`` maps sorted -> original
+    # triangle indices (closest-hit results are remapped through it).
+    perm = _morton_perm(triangle_vertices)
+    triangle_vertices = jnp.take(triangle_vertices, perm, axis=0)
+
     v0 = triangle_vertices[:, 0, :]
     e1 = triangle_vertices[:, 1, :] - v0
     e2 = triangle_vertices[:, 2, :] - v0
@@ -212,14 +351,22 @@ def _prepare(
     if active_triangles is None:
         active = jnp.ones((num_tris,), dtype=jnp.int32)
     else:
-        active = active_triangles.astype(jnp.int32)
+        active = jnp.take(active_triangles, perm).astype(jnp.int32)
     active = _pad_to(active.reshape(1, -1), tris_padded, 1, 0)
 
-    return rays, tris, active, num_rays, rays_padded, tris_padded
+    aabb = _chunk_aabbs(tris, active)
+
+    return rays, tris, active, aabb, perm, num_rays, rays_padded, tris_padded
+
+
+def _smem_spec(block_shape, index_map):
+    if _HAS_PLTPU and not _interpret():
+        return pl.BlockSpec(block_shape, index_map, memory_space=pltpu.SMEM)
+    return pl.BlockSpec(block_shape, index_map)
 
 
 @functools.partial(jax.jit, static_argnames=("epsilon_static",))
-def _run_anyhit(rays, tris, active, thresh, epsilon_static):
+def _run_anyhit(rays, tris, active, aabb, thresh, epsilon_static):
     rays_padded = rays.shape[1]
     tris_padded = tris.shape[1]
     tile_t = min(TILE_T, tris_padded)
@@ -233,23 +380,26 @@ def _run_anyhit(rays, tris, active, thresh, epsilon_static):
             _vmem_spec((6, TILE_R), lambda i, j: (0, i)),
             _vmem_spec((9, tile_t), lambda i, j: (0, j)),
             _vmem_spec((1, tile_t), lambda i, j: (0, j)),
+            _smem_spec((8, tris_padded // T_SUB), lambda i, j: (0, 0)),
             _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
         ],
         out_specs=_vmem_spec((1, TILE_R), lambda i, j: (0, i)),
         interpret=_interpret(),
-    )(rays, tris, active, thresh)
+    )(rays, tris, active, aabb, thresh)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("epsilon_static",))
-def _run_closest(rays, tris, active, epsilon_static):
+@functools.partial(jax.jit, static_argnames=("epsilon_static", "num_rays"))
+def _run_closest(rays, tris, active, aabb, epsilon_static, num_rays):
     rays_padded = rays.shape[1]
     tris_padded = tris.shape[1]
     tile_t = min(TILE_T, tris_padded)
     grid = (rays_padded // TILE_R, tris_padded // tile_t)
 
     idx, t = pl.pallas_call(
-        functools.partial(_closest_kernel, epsilon=epsilon_static),
+        functools.partial(
+            _closest_kernel, epsilon=epsilon_static, num_rays=num_rays
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((1, rays_padded), jnp.int32),
             jax.ShapeDtypeStruct((1, rays_padded), jnp.float32),
@@ -259,13 +409,14 @@ def _run_closest(rays, tris, active, epsilon_static):
             _vmem_spec((6, TILE_R), lambda i, j: (0, i)),
             _vmem_spec((9, tile_t), lambda i, j: (0, j)),
             _vmem_spec((1, tile_t), lambda i, j: (0, j)),
+            _smem_spec((8, tris_padded // T_SUB), lambda i, j: (0, 0)),
         ],
         out_specs=(
             _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
             _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
         ),
         interpret=_interpret(),
-    )(rays, tris, active)
+    )(rays, tris, active, aabb)
     return idx, t
 
 
@@ -292,15 +443,19 @@ def pallas_ray_intersect_any_triangle(
     else:
         epsilon = float(epsilon)
 
-    rays, tris, active, num_rays, rays_padded, _ = _prepare(
+    rays, tris, active, aabb, _, num_rays, rays_padded, _ = _prepare(
         ray_origins, ray_directions, triangle_vertices, active_triangles
     )
     thresh = jnp.broadcast_to(
         jnp.asarray(hit_threshold, dtype=jnp.float32), (num_rays,)
     )
-    thresh = _pad_to(thresh.reshape(1, -1), rays_padded, 1, 0.0)
+    # Padded lanes get a negative threshold: their slab interval is empty,
+    # so they never count as "pending" in the chunk-culling predicate
+    # (zero-filled rays sit at the origin and would otherwise overlap
+    # every chunk AABB near the scene center, defeating the culling).
+    thresh = _pad_to(thresh.reshape(1, -1), rays_padded, 1, -1.0)
 
-    out = _run_anyhit(rays, tris, active, thresh, epsilon)
+    out = _run_anyhit(rays, tris, active, aabb, thresh, epsilon)
     return out[0, :num_rays].reshape(batch)
 
 
@@ -322,11 +477,13 @@ def pallas_first_triangle_hit_by_ray(
     else:
         epsilon = float(epsilon)
 
-    rays, tris, active, num_rays, _, _ = _prepare(
+    rays, tris, active, aabb, perm, num_rays, _, _ = _prepare(
         ray_origins, ray_directions, triangle_vertices, active_triangles
     )
-    idx, t = _run_closest(rays, tris, active, epsilon)
+    idx, t = _run_closest(rays, tris, active, aabb, epsilon, num_rays)
     idx = idx[0, :num_rays].reshape(batch)
     t = t[0, :num_rays].reshape(batch)
     finite = jnp.isfinite(t)
+    # The kernel reports indices into the Morton-sorted order; map back.
+    idx = jnp.take(perm, idx.clip(min=0))
     return jnp.where(finite, idx, -1), jnp.where(finite, t, jnp.inf)

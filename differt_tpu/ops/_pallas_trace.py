@@ -34,7 +34,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jaxtyping import Array, Bool, Float
 
-from ._pallas_rt import _HAS_PLTPU, _interpret, _pad_to, _vmem_spec
+from ._pallas_rt import (
+    _HAS_PLTPU,
+    _chunk_aabbs,
+    _interpret,
+    _morton_perm,
+    _pad_to,
+    _slab_overlap,
+    _vmem_spec,
+)
 
 if _HAS_PLTPU:  # pragma: no cover
     from jax.experimental.pallas import tpu as pltpu
@@ -61,8 +69,10 @@ def _trace_kernel(
     rx_ref,       # VMEM [4, tile_r]          rows x/y/z/pad
     mirrors_ref,  # SMEM [C_TILE, k, 8]       per bounce: mv(3) n(3) pad(2)
     tris_ref,     # SMEM [C_TILE, k, 12]      per bounce: v0(3) e1(3) e2(3) pad
-    mesh_ref,     # VMEM [9, tile_t]          v0/e1/e2 SoA
+    mesh_ref,     # VMEM [9, tile_t]          v0/e1/e2 SoA (Morton-sorted)
     active_ref,   # VMEM [1, tile_t]
+    tile_aabb_ref,  # SMEM [8, num_tiles]     per-triangle-tile AABB
+    chunk_aabb_ref,  # SMEM [8, num_chunks_total] per-T_SUB-chunk AABB
     verts_ref,    # VMEM [1, C_TILE, rows, tile_r] output
     mask_ref,     # VMEM [1, C_TILE, 8, tile_r] bool output (row 0 used)
     seg_scratch,  # VMEM [C_TILE, 6*(k+1), tile_r]
@@ -72,9 +82,11 @@ def _trace_kernel(
     epsilon: float,
     hit_tol: float,
     min_len: float,
+    num_rx: int,
 ):
     k = order
     t_idx = pl.program_id(3)
+    rx_idx = pl.program_id(2)
 
     @pl.when(t_idx == 0)
     def _geometry():
@@ -203,7 +215,14 @@ def _trace_kernel(
                 )
 
             geom_scratch[slot, :] = inside & same_side & seg_valid & finite
-            mask_ref[0, slot, 0, :] = jnp.zeros_like(mask_ref[0, slot, 0, :])
+            # Padded RX lanes start "already blocked": their zero-filled
+            # receivers sit at the scene origin and would otherwise keep
+            # overlapping chunk AABBs, defeating the blockage culling.
+            tile_r = rx[0].shape[0]
+            lane = rx_idx * tile_r + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_r), 1
+            )
+            mask_ref[0, slot, 0, :] = (lane >= num_rx).reshape(-1)
             return None
 
         jax.lax.fori_loop(0, C_TILE, _geometry_slot, None)
@@ -219,59 +238,92 @@ def _trace_kernel(
     thresh = 1.0 - 2.0 * hit_tol
 
     def _blockage_slot(slot, _):
-        @pl.when(jnp.logical_not(mask_ref[0, slot, 0, :].all()))
+        # Two-level culling. Level 1: one scalar branch per (slot,
+        # triangle tile) — run the tile only when some still-unblocked
+        # segment's slab interval overlaps the tile AABB (Morton-sorted
+        # triangles keep the AABBs tight). Level 2, inside passing tiles:
+        # one branch per T_SUB chunk, unioned over segments. Branching per
+        # (chunk, segment) instead was measured slower on v5e: ~5k
+        # scalar-predicated regions per grid step cost more than the
+        # culled MT work saved.
+        tile_box = [tile_aabb_ref[c, t_idx] for c in range(6)]
+        pending = jnp.logical_not(mask_ref[0, slot, 0, :]).reshape(1, -1)
+        segs = []
+        needed = jnp.zeros((), dtype=jnp.bool_)
+        for s in range(k + 1):
+            o = [
+                seg_scratch[slot, 6 * s + c, :].reshape(1, -1)
+                for c in range(3)
+            ]
+            d = [
+                seg_scratch[slot, 6 * s + 3 + c, :].reshape(1, -1)
+                for c in range(3)
+            ]
+            # Offset the origin to dodge self-intersection at the
+            # segment start (same trick as the mesh-level any-hit).
+            o = [o[c] + d[c] * hit_tol for c in range(3)]
+            segs.append((o, d))
+            needed = needed | jnp.any(
+                _slab_overlap(o, d, tile_box, thresh) & pending
+            )
+
+        @pl.when(needed)
         def _blockage():
-            blocked = mask_ref[0, slot, 0, :]
             for chunk in range(num_chunks):
                 sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
-                v0 = [mesh_ref[c, sl].reshape(-1, 1) for c in range(3)]
-                e1 = [mesh_ref[3 + c, sl].reshape(-1, 1) for c in range(3)]
-                e2 = [mesh_ref[6 + c, sl].reshape(-1, 1) for c in range(3)]
-                active = active_ref[0, sl].reshape(-1, 1) > 0
+                g = t_idx * num_chunks + chunk
+                chunk_box = [chunk_aabb_ref[c, g] for c in range(6)]
+                pend = jnp.logical_not(mask_ref[0, slot, 0, :]).reshape(1, -1)
+                chunk_needed = jnp.zeros((), dtype=jnp.bool_)
                 for s in range(k + 1):
-                    o = [
-                        seg_scratch[slot, 6 * s + c, :].reshape(1, -1)
-                        for c in range(3)
-                    ]
-                    d = [
-                        seg_scratch[slot, 6 * s + 3 + c, :].reshape(1, -1)
-                        for c in range(3)
-                    ]
-                    # Offset the origin to dodge self-intersection at the
-                    # segment start (same trick as the mesh-level any-hit).
-                    o = [o[c] + d[c] * hit_tol for c in range(3)]
-                    h = [
-                        d[1] * e2[2] - d[2] * e2[1],
-                        d[2] * e2[0] - d[0] * e2[2],
-                        d[0] * e2[1] - d[1] * e2[0],
-                    ]
-                    det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
-                    inv = jnp.where(
-                        det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det)
+                    o, d = segs[s]
+                    chunk_needed = chunk_needed | jnp.any(
+                        _slab_overlap(o, d, chunk_box, thresh) & pend
                     )
-                    s_vec = [o[c] - v0[c] for c in range(3)]
-                    u = inv * (
-                        s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2]
-                    )
-                    q = [
-                        s_vec[1] * e1[2] - s_vec[2] * e1[1],
-                        s_vec[2] * e1[0] - s_vec[0] * e1[2],
-                        s_vec[0] * e1[1] - s_vec[1] * e1[0],
-                    ]
-                    v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
-                    tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
-                    hit = (
-                        (jnp.abs(det) > epsilon)
-                        & (u >= 0.0)
-                        & (u <= 1.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (tt > epsilon)
-                        & (tt < thresh)
-                        & active
-                    )
-                    blocked = blocked | hit.any(axis=0)
-            mask_ref[0, slot, 0, :] = blocked
+
+                @pl.when(chunk_needed)
+                def _chunk(sl=sl):
+                    blocked = mask_ref[0, slot, 0, :]
+                    v0 = [mesh_ref[c, sl].reshape(-1, 1) for c in range(3)]
+                    e1 = [mesh_ref[3 + c, sl].reshape(-1, 1) for c in range(3)]
+                    e2 = [mesh_ref[6 + c, sl].reshape(-1, 1) for c in range(3)]
+                    active = active_ref[0, sl].reshape(-1, 1) > 0
+                    for s in range(k + 1):
+                        o, d = segs[s]
+                        h = [
+                            d[1] * e2[2] - d[2] * e2[1],
+                            d[2] * e2[0] - d[0] * e2[2],
+                            d[0] * e2[1] - d[1] * e2[0],
+                        ]
+                        det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
+                        inv = jnp.where(
+                            det == 0.0,
+                            0.0,
+                            1.0 / jnp.where(det == 0.0, 1.0, det),
+                        )
+                        s_vec = [o[c] - v0[c] for c in range(3)]
+                        u = inv * (
+                            s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2]
+                        )
+                        q = [
+                            s_vec[1] * e1[2] - s_vec[2] * e1[1],
+                            s_vec[2] * e1[0] - s_vec[0] * e1[2],
+                            s_vec[0] * e1[1] - s_vec[1] * e1[0],
+                        ]
+                        v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
+                        tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
+                        hit = (
+                            (jnp.abs(det) > epsilon)
+                            & (u >= 0.0)
+                            & (u <= 1.0)
+                            & (v >= 0.0)
+                            & (u + v <= 1.0)
+                            & (tt > epsilon)
+                            & (tt < thresh)
+                            & active
+                        )
+                        blocked = blocked | hit.any(axis=0)
+                    mask_ref[0, slot, 0, :] = blocked
 
         return None
 
@@ -292,7 +344,7 @@ def _trace_kernel(
     jax.jit,
     static_argnames=("order", "epsilon", "hit_tol", "min_len"),
 )
-def pallas_trace_specular(
+def _pallas_trace_specular_impl(
     tx_vertices: Float[Array, "num_tx 3"],
     rx_vertices: Float[Array, "num_rx 3"],
     mirror_vertices: Float[Array, "num_candidates order 3"],
@@ -353,16 +405,33 @@ def pallas_trace_specular(
     cand_tris = _pad_to(cand_tris, 12, 2, 0.0)  # [C, k, 12]
     cand_tris = _pad_to(cand_tris, cand_padded, 0, 0.0)
 
-    v0 = triangle_vertices[:, 0, :]
-    e1 = triangle_vertices[:, 1, :] - v0
-    e2 = triangle_vertices[:, 2, :] - v0
+    # The mesh feeds only the blockage phase (no triangle indices escape),
+    # so Morton-sorting it is free — and makes the per-chunk AABBs tight
+    # enough for the slab-test culling to skip most (chunk, segment) pairs.
+    perm = _morton_perm(triangle_vertices)
+    sorted_tv = jnp.take(triangle_vertices, perm, axis=0)
+    v0 = sorted_tv[:, 0, :]
+    e1 = sorted_tv[:, 1, :] - v0
+    e2 = sorted_tv[:, 2, :] - v0
     mesh = jnp.concatenate((v0, e1, e2), axis=-1).T  # [9, T]
     mesh = _pad_to(mesh, tris_padded, 1, 0.0)
     if active_triangles is None:
         active = jnp.ones((num_tris,), dtype=jnp.int32)
     else:
-        active = active_triangles.astype(jnp.int32)
+        active = jnp.take(active_triangles, perm).astype(jnp.int32)
     active = _pad_to(active.reshape(1, -1), tris_padded, 1, 0)
+    # Per-triangle-tile AABBs: fold the T_SUB-chunk AABBs up to tile_t
+    # granularity (margin already applied by _chunk_aabbs).
+    chunk_aabb = _chunk_aabbs(mesh, active)
+    cpt = tile_t // T_SUB
+    tile_aabb = jnp.concatenate(
+        (
+            chunk_aabb[0:3].reshape(3, -1, cpt).min(axis=-1),
+            chunk_aabb[3:6].reshape(3, -1, cpt).max(axis=-1),
+        ),
+        axis=0,
+    )
+    tile_aabb = _pad_to(tile_aabb, 8, 0, 0.0)
 
     grid = (
         num_tx,
@@ -378,6 +447,7 @@ def pallas_trace_specular(
         epsilon=epsilon,
         hit_tol=hit_tol,
         min_len=min_len,
+        num_rx=num_rx,
     )
     scratch_shapes = [
         pltpu.VMEM((C_TILE, 6 * (k + 1), tile_r), jnp.float32),
@@ -402,6 +472,8 @@ def pallas_trace_specular(
             _smem_spec((C_TILE, k, 12), lambda a, c, i, t: (c, 0, 0)),
             _vmem_spec((9, tile_t), lambda a, c, i, t: (0, t)),
             _vmem_spec((1, tile_t), lambda a, c, i, t: (0, t)),
+            _smem_spec((8, tris_padded // tile_t), lambda a, c, i, t: (0, 0)),
+            _smem_spec((8, tris_padded // T_SUB), lambda a, c, i, t: (0, 0)),
         ],
         out_specs=(
             _vmem_spec(
@@ -413,7 +485,7 @@ def pallas_trace_specular(
         ),
         scratch_shapes=scratch_shapes,
         interpret=_interpret(),
-    )(tx_in, rx_in, mirrors, cand_tris, mesh, active)
+    )(tx_in, rx_in, mirrors, cand_tris, mesh, active, tile_aabb, chunk_aabb)
 
     # [tx, cand, rows, rx] -> [tx, cand, rx, k+2, 3]
     verts = verts[:, :num_cand, : 3 * (k + 2), :num_rx]
@@ -421,3 +493,150 @@ def pallas_trace_specular(
     verts = jnp.moveaxis(verts, -1, 2)
     mask = mask[:, :num_cand, 0, :num_rx]
     return verts, mask
+
+
+def _xla_trace_vertices(tx, rx, mirror_vertices, mirror_normals, order):
+    """Differentiable XLA recompute of the kernel's geometry phase.
+
+    Op-for-op the same arithmetic as ``_trace_kernel``'s forward-image /
+    backward-intersection passes, so the backward pass of
+    :func:`pallas_trace_specular` differentiates values identical to the
+    kernel's outputs (same recompute-from-frozen-geometry trick as the
+    closest-hit custom VJP, reference _mesh.py:226-344).
+    Returns ``[num_tx, num_candidates, num_rx, order + 2, 3]``.
+    """
+    k = order
+    num_tx = tx.shape[0]
+    num_rx = rx.shape[0]
+    num_cand = mirror_vertices.shape[0]
+
+    img = jnp.broadcast_to(tx[:, None, :], (num_tx, num_cand, 3))
+    images = []
+    for b in range(k):
+        mv = mirror_vertices[None, :, b, :]
+        n = mirror_normals[None, :, b, :]
+        d = jnp.sum((img - mv) * n, axis=-1, keepdims=True)
+        img = img - 2.0 * d * n
+        images.append(img)
+
+    point = jnp.broadcast_to(
+        rx[None, None, :, :], (num_tx, num_cand, num_rx, 3)
+    )
+    points = [None] * k
+    for b in reversed(range(k)):
+        mv = mirror_vertices[None, :, None, b, :]
+        n = mirror_normals[None, :, None, b, :]
+        img = images[b][:, :, None, :]
+        direction = img - point
+        dn = jnp.sum(direction * n, axis=-1, keepdims=True)
+        vn = jnp.sum((mv - point) * n, axis=-1, keepdims=True)
+        tt = vn / jnp.where(dn == 0.0, 1.0, dn)
+        point = point + direction * tt
+        points[b] = point
+
+    chain = [jnp.broadcast_to(tx[:, None, None, :], point.shape)]
+    chain += points
+    chain += [jnp.broadcast_to(rx[None, None, :, :], point.shape)]
+    return jnp.stack(chain, axis=-2)
+
+
+def _zero_cotangent(primal):
+    if jnp.issubdtype(primal.dtype, jnp.inexact):
+        return jnp.zeros_like(primal)
+    import numpy as np
+
+    return np.zeros(primal.shape, dtype=jax.dtypes.float0)
+
+
+@functools.cache
+def _make_trace_specular(order, epsilon, hit_tol, min_len):
+    """Build the custom-VJP megakernel entry for one static config.
+
+    ``pallas_call`` has no JVP/VJP path for kernels with scratch refs, and
+    differentiating the fused blockage sweep would be wasteful anyway: the
+    mask is boolean and the path vertices depend only on the cheap
+    geometry phase. Forward runs the fused kernel; backward re-derives the
+    vertices with :func:`_xla_trace_vertices` and pulls cotangents through
+    that (no blockage work in the backward pass).
+    """
+
+    @jax.custom_vjp
+    def traced(tx, rx, mirror_vertices, mirror_normals, cand_tris, mesh_tv, active):
+        return _pallas_trace_specular_impl(
+            tx,
+            rx,
+            mirror_vertices,
+            mirror_normals,
+            cand_tris,
+            mesh_tv,
+            active,
+            order=order,
+            epsilon=epsilon,
+            hit_tol=hit_tol,
+            min_len=min_len,
+        )
+
+    def fwd(tx, rx, mirror_vertices, mirror_normals, cand_tris, mesh_tv, active):
+        out = traced(
+            tx, rx, mirror_vertices, mirror_normals, cand_tris, mesh_tv, active
+        )
+        return out, (tx, rx, mirror_vertices, mirror_normals, cand_tris, mesh_tv, active)
+
+    def bwd(res, cotangents):
+        tx, rx, mirror_vertices, mirror_normals, cand_tris, mesh_tv, active = res
+        g_verts, _ = cotangents  # The boolean mask carries no gradient.
+        g_verts = jnp.where(jnp.isfinite(g_verts), g_verts, 0.0)
+
+        def f(tx_, rx_, mv_, mn_):
+            return _xla_trace_vertices(tx_, rx_, mv_, mn_, order)
+
+        _, vjp = jax.vjp(f, tx, rx, mirror_vertices, mirror_normals)
+        g_tx, g_rx, g_mv, g_mn = vjp(g_verts)
+        return (
+            g_tx,
+            g_rx,
+            g_mv,
+            g_mn,
+            _zero_cotangent(cand_tris),
+            _zero_cotangent(mesh_tv),
+            _zero_cotangent(active),
+        )
+
+    traced.defvjp(fwd, bwd)
+    return traced
+
+
+def pallas_trace_specular(
+    tx_vertices,
+    rx_vertices,
+    mirror_vertices,
+    mirror_normals,
+    candidate_triangles,
+    triangle_vertices,
+    active_triangles,
+    *,
+    order: int,
+    epsilon: float,
+    hit_tol: float,
+    min_len: float,
+):
+    """Differentiable fused trace (see :func:`_pallas_trace_specular_impl`).
+
+    Vertices are differentiable w.r.t. TX/RX positions and the mirror
+    geometry via an XLA recompute in the backward pass; the validity mask
+    and the blockage inputs carry no gradient.
+    """
+    fn = _make_trace_specular(order, epsilon, hit_tol, min_len)
+    if active_triangles is None:
+        active_triangles = jnp.ones(
+            (triangle_vertices.shape[0],), dtype=jnp.bool_
+        )
+    return fn(
+        tx_vertices,
+        rx_vertices,
+        mirror_vertices,
+        mirror_normals,
+        candidate_triangles,
+        triangle_vertices,
+        active_triangles,
+    )

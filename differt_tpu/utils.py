@@ -3,11 +3,31 @@
 Mirrors the API of ``differt.utils`` (reference: differt/src/differt/utils.py).
 """
 
-from functools import partial
+from functools import cache, partial
 
 import jax
 import jax.numpy as jnp
 from jaxtyping import Array, ArrayLike, Float, Num, PRNGKeyArray
+
+
+@cache
+def supports_debug_callback() -> bool:
+    """Whether the default backend can run host callbacks under jit.
+
+    Some PJRT plugins (e.g. the ``axon`` tunneled-TPU plugin) reject host
+    send/recv; runtime warnings routed through :func:`jax.debug.callback`
+    must be skipped there instead of crashing the computation. Detected
+    from the platform version string — actually issuing a probe callback
+    would enqueue an async error that poisons the next synchronization.
+    """
+    try:
+        import jax.extend
+
+        backend = jax.extend.backend.get_backend()
+        version = getattr(backend, "platform_version", "") or ""
+    except Exception:  # noqa: BLE001 - be conservative on odd backends.
+        return True
+    return "axon" not in version
 
 
 @partial(jax.jit, static_argnames=("shape",))
