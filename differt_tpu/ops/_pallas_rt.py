@@ -215,7 +215,15 @@ def _ray_lanes(rays_ref):
 
 
 def _anyhit_kernel(
-    rays_ref, tris_ref, active_ref, aabb_ref, thresh_ref, out_ref, *, epsilon
+    rays_ref,
+    tris_ref,
+    active_ref,
+    tile_aabb_ref,
+    chunk_aabb_ref,
+    thresh_ref,
+    out_ref,
+    *,
+    epsilon,
 ):
     j = pl.program_id(1)
     tile_t = tris_ref.shape[1]
@@ -224,19 +232,24 @@ def _anyhit_kernel(
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    # Early exit: once every ray in this tile is blocked, later triangle
-    # tiles have nothing to add — skip the whole MT block.
-    @pl.when((j == 0) | jnp.logical_not(out_ref[...].all()))
+    o, d = _ray_lanes(rays_ref)
+    thresh = thresh_ref[0, :].reshape(1, -1)
+    # Two-level culling (see _pallas_trace.py): skip the whole tile when no
+    # still-pending ray overlaps its AABB (also covers the all-blocked
+    # early exit: blocked rays are not pending), then per-T_SUB chunk.
+    pending = jnp.logical_not(out_ref[0, :].reshape(1, -1))
+    tile_box = [tile_aabb_ref[c, j] for c in range(6)]
+    tile_needed = jnp.any(_slab_overlap(o, d, tile_box, thresh) & pending)
+
+    @pl.when(tile_needed)
     def _compute():
-        o, d = _ray_lanes(rays_ref)
-        thresh = thresh_ref[0, :].reshape(1, -1)
         chunks_per_tile = tile_t // T_SUB
         for chunk in range(chunks_per_tile):
             sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
-            # aabb_ref holds ALL chunks (one resident SMEM block); index
-            # globally — scalar dynamic loads are what SMEM is for.
+            # chunk_aabb_ref holds ALL chunks (one resident SMEM block);
+            # index globally — scalar dynamic loads are what SMEM is for.
             g = j * chunks_per_tile + chunk
-            box = [aabb_ref[c, g] for c in range(6)]
+            box = [chunk_aabb_ref[c, g] for c in range(6)]
             # Slab-test the chunk's (Morton-tight) AABB: only rays whose
             # still-unblocked segment overlaps the box need the 64 MT
             # tests. Fully padded / masked-out chunks cost one reduce.
@@ -254,7 +267,8 @@ def _closest_kernel(
     rays_ref,
     tris_ref,
     active_ref,
-    aabb_ref,
+    tile_aabb_ref,
+    chunk_aabb_ref,
     idx_out_ref,
     t_out_ref,
     *,
@@ -270,8 +284,8 @@ def _closest_kernel(
     def _init():
         idx_out_ref[...] = jnp.full_like(idx_out_ref, -1)
         # Padded lanes start at -inf best-t: their slab interval is empty
-        # so they never veto the chunk culling (zero-filled rays sit at
-        # the origin and overlap every central chunk AABB otherwise), and
+        # so they never veto the tile culling (zero-filled rays sit at
+        # the origin and overlap every central AABB otherwise), and
         # `chunk_min <= -inf` keeps their index at -1.
         lane = i * tile_r + jax.lax.broadcasted_iota(
             jnp.int32, (1, tile_r), 1
@@ -279,34 +293,48 @@ def _closest_kernel(
         t_out_ref[...] = jnp.where(lane < num_rays, jnp.inf, -jnp.inf)
 
     o, d = _ray_lanes(rays_ref)
+    # Two-level culling against the running best hit: a tile/chunk can
+    # only improve rays whose slab interval starts before their current
+    # best t, so later (Morton-ordered) geometry behind the first hits is
+    # skipped even for incoherent lattice-launched ray blocks.
+    tile_box = [tile_aabb_ref[c, j] for c in range(6)]
+    tile_needed = jnp.any(
+        _slab_overlap(o, d, tile_box, t_out_ref[0, :].reshape(1, -1))
+    )
     chunks_per_tile = tile_t // T_SUB
-    for chunk in range(chunks_per_tile):
-        sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
-        box = [aabb_ref[c, j * chunks_per_tile + chunk] for c in range(6)]
-        # A chunk can only improve a ray whose slab interval starts before
-        # that ray's current best hit — cull against the running minimum.
-        overlap = _slab_overlap(o, d, box, t_out_ref[0, :].reshape(1, -1))
 
-        @pl.when(jnp.any(active_ref[0, sl] > 0) & jnp.any(overlap))
-        def _chunk(sl=sl, chunk=chunk):
-            t, hit = _mt_chunk(o, d, tris_ref, active_ref, sl, epsilon)
-            t = jnp.where(hit, t, jnp.inf)
-            chunk_min = jnp.min(t, axis=0)
-            chunk_arg = (
-                jnp.argmin(t, axis=0).astype(jnp.int32)
-                + j * tile_t
-                + chunk * T_SUB
-            )
+    @pl.when(tile_needed)
+    def _tile():
+        for chunk in range(chunks_per_tile):
+            sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
+            box = [
+                chunk_aabb_ref[c, j * chunks_per_tile + chunk]
+                for c in range(6)
+            ]
+            overlap = _slab_overlap(o, d, box, t_out_ref[0, :].reshape(1, -1))
 
-            # Ties prefer the later chunk, matching the tiled pure-JAX
-            # reference combine (first_triangle_hit_by_ray) so results are
-            # bit-identical when tile sizes line up.
-            best_t = t_out_ref[0, :]
-            closer = chunk_min <= best_t
-            t_out_ref[0, :] = jnp.where(closer, chunk_min, best_t)
-            idx_out_ref[0, :] = jnp.where(
-                closer & jnp.isfinite(chunk_min), chunk_arg, idx_out_ref[0, :]
-            )
+            @pl.when(jnp.any(active_ref[0, sl] > 0) & jnp.any(overlap))
+            def _chunk(sl=sl, chunk=chunk):
+                t, hit = _mt_chunk(o, d, tris_ref, active_ref, sl, epsilon)
+                t = jnp.where(hit, t, jnp.inf)
+                chunk_min = jnp.min(t, axis=0)
+                chunk_arg = (
+                    jnp.argmin(t, axis=0).astype(jnp.int32)
+                    + j * tile_t
+                    + chunk * T_SUB
+                )
+
+                # Ties prefer the later chunk, matching the tiled pure-JAX
+                # reference combine (first_triangle_hit_by_ray) so results
+                # are bit-identical when tile sizes line up.
+                best_t = t_out_ref[0, :]
+                closer = chunk_min <= best_t
+                t_out_ref[0, :] = jnp.where(closer, chunk_min, best_t)
+                idx_out_ref[0, :] = jnp.where(
+                    closer & jnp.isfinite(chunk_min),
+                    chunk_arg,
+                    idx_out_ref[0, :],
+                )
 
 
 def _pad_to(x: Array, size: int, axis: int, value) -> Array:
@@ -365,12 +393,30 @@ def _smem_spec(block_shape, index_map):
     return pl.BlockSpec(block_shape, index_map)
 
 
+def _tile_aabbs(chunk_aabb: Array, tile_t: int) -> Array:
+    """Fold per-chunk AABBs up to triangle-tile granularity: [8, num_tiles]."""
+    cpt = tile_t // T_SUB
+    return _pad_to(
+        jnp.concatenate(
+            (
+                chunk_aabb[0:3].reshape(3, -1, cpt).min(axis=-1),
+                chunk_aabb[3:6].reshape(3, -1, cpt).max(axis=-1),
+            ),
+            axis=0,
+        ),
+        8,
+        0,
+        0.0,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("epsilon_static",))
 def _run_anyhit(rays, tris, active, aabb, thresh, epsilon_static):
     rays_padded = rays.shape[1]
     tris_padded = tris.shape[1]
     tile_t = min(TILE_T, tris_padded)
     grid = (rays_padded // TILE_R, tris_padded // tile_t)
+    tile_aabb = _tile_aabbs(aabb, tile_t)
 
     out = pl.pallas_call(
         functools.partial(_anyhit_kernel, epsilon=epsilon_static),
@@ -380,12 +426,13 @@ def _run_anyhit(rays, tris, active, aabb, thresh, epsilon_static):
             _vmem_spec((6, TILE_R), lambda i, j: (0, i)),
             _vmem_spec((9, tile_t), lambda i, j: (0, j)),
             _vmem_spec((1, tile_t), lambda i, j: (0, j)),
+            _smem_spec((8, tris_padded // tile_t), lambda i, j: (0, 0)),
             _smem_spec((8, tris_padded // T_SUB), lambda i, j: (0, 0)),
             _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
         ],
         out_specs=_vmem_spec((1, TILE_R), lambda i, j: (0, i)),
         interpret=_interpret(),
-    )(rays, tris, active, aabb, thresh)
+    )(rays, tris, active, tile_aabb, aabb, thresh)
     return out
 
 
@@ -395,6 +442,7 @@ def _run_closest(rays, tris, active, aabb, epsilon_static, num_rays):
     tris_padded = tris.shape[1]
     tile_t = min(TILE_T, tris_padded)
     grid = (rays_padded // TILE_R, tris_padded // tile_t)
+    tile_aabb = _tile_aabbs(aabb, tile_t)
 
     idx, t = pl.pallas_call(
         functools.partial(
@@ -409,6 +457,7 @@ def _run_closest(rays, tris, active, aabb, epsilon_static, num_rays):
             _vmem_spec((6, TILE_R), lambda i, j: (0, i)),
             _vmem_spec((9, tile_t), lambda i, j: (0, j)),
             _vmem_spec((1, tile_t), lambda i, j: (0, j)),
+            _smem_spec((8, tris_padded // tile_t), lambda i, j: (0, 0)),
             _smem_spec((8, tris_padded // T_SUB), lambda i, j: (0, 0)),
         ],
         out_specs=(
@@ -416,7 +465,7 @@ def _run_closest(rays, tris, active, aabb, epsilon_static, num_rays):
             _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
         ),
         interpret=_interpret(),
-    )(rays, tris, active, aabb)
+    )(rays, tris, active, tile_aabb, aabb)
     return idx, t
 
 

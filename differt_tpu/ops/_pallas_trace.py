@@ -41,6 +41,7 @@ from ._pallas_rt import (
     _morton_perm,
     _pad_to,
     _slab_overlap,
+    _tile_aabbs,
     _vmem_spec,
 )
 
@@ -423,15 +424,7 @@ def _pallas_trace_specular_impl(
     # Per-triangle-tile AABBs: fold the T_SUB-chunk AABBs up to tile_t
     # granularity (margin already applied by _chunk_aabbs).
     chunk_aabb = _chunk_aabbs(mesh, active)
-    cpt = tile_t // T_SUB
-    tile_aabb = jnp.concatenate(
-        (
-            chunk_aabb[0:3].reshape(3, -1, cpt).min(axis=-1),
-            chunk_aabb[3:6].reshape(3, -1, cpt).max(axis=-1),
-        ),
-        axis=0,
-    )
-    tile_aabb = _pad_to(tile_aabb, 8, 0, 0.0)
+    tile_aabb = _tile_aabbs(chunk_aabb, tile_t)
 
     grid = (
         num_tx,
