@@ -317,11 +317,34 @@ def bench_config3() -> dict:
         _sync(diff(1).sum())
         best_d = min(best_d, time.perf_counter() - start)
     num_rx = scene.num_receivers
+
+    # MLM (multipath lifetime map): SBR bounce scan + bit-planed hash
+    # scatter, the pure-XLA re-design of the reference's Warp atomic-OR
+    # kernel (_scene.py:62-302).
+    mlm_rays = 500_000
+    mlm_order = 2
+
+    def mlm(i):
+        return scene.compute_tx_mlm(
+            num_rays=mlm_rays + 8 * i,
+            order=mlm_order,
+            grid_size=(128, 128),
+            receiver_plane_z=1.5,
+        )
+
+    _sync(mlm(0).sum())
+    best_m = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        _sync(mlm(1).sum())
+        best_m = min(best_m, time.perf_counter() - start)
+
     return {
         "num_triangles": num_tris,
         "num_edges": num_edges,
         "sbr_order3_bounce_rays_per_s": sbr_bounce_rays_per_s,
         "diffraction_paths_per_s": num_rx * num_edges / best_d,
+        "mlm_order2_bounce_rays_per_s": mlm_rays * (mlm_order + 1) / best_m,
     }
 
 
