@@ -66,7 +66,7 @@ def _dot3(a, b):
 
 
 def _trace_kernel(
-    tx_ref,       # SMEM [1, 8]               (x, y, z, pad...)
+    tx_ref,       # SMEM [num_tx, 8]          (x, y, z, pad...), all resident
     rx_ref,       # VMEM [4, tile_r]          rows x/y/z/pad
     mirrors_ref,  # SMEM [C_TILE, k, 8]       per bounce: mv(3) n(3) pad(2)
     tris_ref,     # SMEM [C_TILE, k, 12]      per bounce: v0(3) e1(3) e2(3) pad
@@ -88,10 +88,11 @@ def _trace_kernel(
     k = order
     t_idx = pl.program_id(3)
     rx_idx = pl.program_id(2)
+    tx_idx = pl.program_id(0)
 
     @pl.when(t_idx == 0)
     def _geometry():
-        tx = [tx_ref[0, c] for c in range(3)]
+        tx = [tx_ref[tx_idx, c] for c in range(3)]
         rx = [rx_ref[c, :] for c in range(3)]  # [tile_r] each
 
         def _geometry_slot(slot, _):
@@ -459,7 +460,9 @@ def _pallas_trace_specular_impl(
         ),
         grid=grid,
         in_specs=[
-            _smem_spec((1, 8), lambda a, c, i, t: (a, 0)),
+            # The whole (small) TX array stays resident in SMEM; blocking
+            # it per-tx would need an illegal (1, 8) block when num_tx > 1.
+            _smem_spec((num_tx, 8), lambda a, c, i, t: (0, 0)),
             _vmem_spec((4, tile_r), lambda a, c, i, t: (0, i)),
             _smem_spec((C_TILE, k, 8), lambda a, c, i, t: (c, 0, 0)),
             _smem_spec((C_TILE, k, 12), lambda a, c, i, t: (c, 0, 0)),
