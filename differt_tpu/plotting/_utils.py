@@ -30,6 +30,9 @@ _CURRENT_FIGURE: ContextVar[Any] = ContextVar("differt_tpu_current_figure", defa
 _CURRENT_BACKEND: ContextVar[str | None] = ContextVar(
     "differt_tpu_current_backend", default=None
 )
+_CURRENT_REUSE_KWARGS: ContextVar[dict[str, Any] | None] = ContextVar(
+    "differt_tpu_current_reuse_kwargs", default=None
+)
 
 
 def set_backend(backend: str) -> None:
@@ -68,8 +71,9 @@ def update_defaults(backend: str, **kwargs: Any) -> None:
 
 
 def merged_kwargs(backend: str, kwargs: dict[str, Any]) -> dict[str, Any]:
-    """Backend defaults overridden by per-call kwargs."""
-    return {**_DEFAULT_KWARGS.get(backend, {}), **kwargs}
+    """Backend defaults < reuse(pass_all_kwargs=True) kwargs < call kwargs."""
+    reuse_kwargs = _CURRENT_REUSE_KWARGS.get() or {}
+    return {**_DEFAULT_KWARGS.get(backend, {}), **reuse_kwargs, **kwargs}
 
 
 @contextlib.contextmanager
@@ -131,22 +135,39 @@ def current_figure() -> Any:
 def reuse(backend: str | None = None, pass_all_kwargs: bool = False, **kwargs: Any):
     """Context reusing a single figure across multiple ``draw_*`` calls.
 
-    Yields the figure object (created lazily by the first draw call).
+    Yields the figure object. With ``pass_all_kwargs=True`` the extra
+    keyword arguments are forwarded to every ``draw_*`` call inside the
+    context (between backend defaults and per-call kwargs in priority);
+    otherwise they go to the figure/canvas constructor. Reference parity:
+    plotting/_utils.py:680-723.
     """
-    del pass_all_kwargs, kwargs
     resolved = get_backend(backend)
     backend_token = _CURRENT_BACKEND.set(resolved)
+    ctor_kwargs = {} if pass_all_kwargs else kwargs
     if resolved == "plotly":
         import plotly.graph_objects as go
 
-        fig = go.Figure()
+        fig = go.Figure(**ctor_kwargs)
+    elif resolved == "vispy":
+        from vispy import scene
+
+        fig = scene.SceneCanvas(
+            **{"keys": "interactive", "bgcolor": "white", **ctor_kwargs}
+        )
+        view = fig.central_widget.add_view()
+        view.camera = "turntable"
+        fig._differt_tpu_view = view
     else:
         import matplotlib.pyplot as plt
 
-        fig = plt.figure()
+        fig = plt.figure(**ctor_kwargs)
     fig_token = _CURRENT_FIGURE.set(fig)
+    kwargs_token = _CURRENT_REUSE_KWARGS.set(
+        kwargs if pass_all_kwargs else None
+    )
     try:
         yield fig
     finally:
+        _CURRENT_REUSE_KWARGS.reset(kwargs_token)
         _CURRENT_FIGURE.reset(fig_token)
         _CURRENT_BACKEND.reset(backend_token)

@@ -73,6 +73,65 @@ def test_reuse_accumulates() -> None:
     assert len(fig.axes[0].lines) >= 1
 
 
+def test_reuse_constructor_kwargs() -> None:
+    # Without pass_all_kwargs, extra kwargs configure the figure itself.
+    with reuse(backend="matplotlib", figsize=(3.0, 2.0)) as fig:
+        draw_markers(jnp.zeros((1, 3)))
+    assert tuple(fig.get_size_inches()) == (3.0, 2.0)
+
+
+def test_reuse_pass_all_kwargs_forwards_to_draws() -> None:
+    # With pass_all_kwargs=True, kwargs reach every draw call inside the
+    # context (Scene.plot relies on this to forward user kwargs).
+    with reuse(backend="matplotlib", pass_all_kwargs=True, color="red") as fig:
+        draw_paths(jnp.zeros((1, 2, 3)).at[:, 1, 0].set(1.0))
+    line = fig.axes[0].lines[0]
+    assert line.get_color() == "red"
+
+
+def test_reuse_kwargs_do_not_leak_outside_context() -> None:
+    with reuse(backend="matplotlib", pass_all_kwargs=True, color="red"):
+        draw_paths(jnp.zeros((1, 2, 3)))
+    fig = draw_paths(jnp.zeros((1, 2, 3)).at[:, 1, 1].set(1.0))
+    assert fig.axes[0].lines[0].get_color() != "red"
+
+
+def test_per_call_kwargs_override_reuse_kwargs() -> None:
+    with reuse(backend="matplotlib", pass_all_kwargs=True, color="red") as fig:
+        draw_paths(jnp.zeros((1, 2, 3)), color="blue")
+    assert fig.axes[0].lines[0].get_color() == "blue"
+
+
+def test_defaults_registry() -> None:
+    from differt_tpu.plotting import set_defaults, update_defaults
+    from differt_tpu.plotting._utils import merged_kwargs
+
+    set_defaults("matplotlib", color="green")
+    try:
+        assert merged_kwargs("matplotlib", {}) == {"color": "green"}
+        update_defaults("matplotlib", linewidth=2)
+        assert merged_kwargs("matplotlib", {}) == {
+            "color": "green",
+            "linewidth": 2,
+        }
+        # Per-call kwargs win over defaults.
+        assert merged_kwargs("matplotlib", {"color": "black"})["color"] == "black"
+    finally:
+        set_defaults("matplotlib")
+
+
+def test_scene_plot_forwards_kwargs() -> None:
+    from differt_tpu.geometry import Scene
+
+    scene = Scene(
+        transmitters=jnp.array([-1.0, 0.0, 0.0]),
+        mesh=Mesh.box(with_top=True),
+    )
+    # An invalid forwarded kwarg must actually reach the backend call.
+    with pytest.raises(Exception):  # noqa: B017 - backend-specific error type.
+        scene.plot(backend="matplotlib", not_a_real_kwarg=object())
+
+
 def test_mesh_scene_paths_plot_methods() -> None:
     from differt_tpu.geometry import Scene
 
