@@ -138,10 +138,11 @@ def bench_cityscale() -> dict:
 
     (a) paths/s at 131 072 candidates x 128 RX (1.7e7 traced paths/run);
     (b) px/s at 102 400 RX pixels x 256 candidates (2.6e7 paths/run).
-    Both stream through power_map_chunked. Per-path cost here is dominated
-    by the brute-force O(num_triangles) blockage scan (~57k MT tests/path
-    at 14.2k triangles), so paths/s is ~70x lower than on the 26-triangle
-    canyon — the acceleration-structure roadmap item.
+    Both stream through power_map_chunked. Per-path cost is dominated by
+    the blockage sweep (~43k MT tests/path at 14.2k triangles before
+    culling); the two-level AABB culling with Morton-ordered RX tiles
+    recovers ~2.5x on (b), while (a)'s 128 city-wide receivers per tile
+    are inherently incoherent and gain only ~5% (docs/performance.md).
     """
     import numpy as np
 

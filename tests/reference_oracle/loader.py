@@ -151,9 +151,17 @@ def load_reference() -> dict[str, types.ModuleType]:
     plotting = types.ModuleType("differt.plotting")
     plotting.PlotOutput = Any
     plotting.draw_paths = lambda *a, **k: None
+    plotting.draw_surface = lambda *a, **k: None
     plotting.reuse = contextlib.nullcontext
     sys.modules["differt.plotting"] = plotting
     pkg.plotting = plotting
+
+    # Antennas (Dipole near+far fields, directivity) — pure JAX + the
+    # geometry/plotting surfaces stubbed above.
+    em_antenna = importlib.import_module("differt.em._antenna")
+    for name in dir(em_antenna):
+        if not name.startswith("_"):
+            setattr(em_pkg, name, getattr(em_antenna, name))
 
     _namespace_pkg("differt.plugins", root / "plugins")
     deepmimo = importlib.import_module("differt.plugins.deepmimo")
@@ -169,5 +177,6 @@ def load_reference() -> dict[str, types.ModuleType]:
         "em_material": em_material,
         "em_utils": em_utils,
         "em_utd": em_utd,
+        "em_antenna": em_antenna,
     }
     return _cache

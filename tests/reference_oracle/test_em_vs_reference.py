@@ -242,3 +242,76 @@ class TestUtd:
             ref["em_utd"].L_i(s_d, sin_2_beta_0, s_i=s_i),
             rtol=1e-5,
         )
+
+
+class TestAntennaVsReference:
+    """Dipole near+far fields and directivity vs differt.em._antenna."""
+
+    def _pair(self, ref, **kwargs):
+        from differt_tpu.em import Dipole
+
+        return Dipole(**kwargs), ref["em_antenna"].Dipole(**kwargs)
+
+    def test_derived_properties(self, ref) -> None:
+        ours, theirs = self._pair(ref, frequency=2.4e9)
+        chex.assert_trees_all_close(ours.wavelength, theirs.wavelength)
+        chex.assert_trees_all_close(ours.wavenumber, theirs.wavenumber)
+        chex.assert_trees_all_close(ours.aperture, theirs.aperture)
+        chex.assert_trees_all_close(ours.length, theirs.length)
+        chex.assert_trees_all_close(ours.moment, theirs.moment, atol=1e-12)
+
+    def test_fields_near_and_far(self, ref, key) -> None:
+        ours, theirs = self._pair(
+            ref, frequency=1e9, num_wavelengths=0.25, current=0.5
+        )
+        # Points spanning near field (< lambda) to far field (>> lambda).
+        r = jax.random.uniform(key, (64, 1), minval=0.05, maxval=50.0)
+        directions = jax.random.normal(jax.random.key(7), (64, 3))
+        directions = directions / jnp.linalg.norm(
+            directions, axis=-1, keepdims=True
+        )
+        points = r * directions
+        e_ours, b_ours = ours.fields(points)
+        e_ref, b_ref = theirs.fields(points)
+        chex.assert_trees_all_close(e_ours, e_ref, rtol=2e-5, atol=1e-8)
+        chex.assert_trees_all_close(b_ours, b_ref, rtol=2e-5, atol=1e-12)
+
+    def test_fields_with_charge_and_look_at(self, ref) -> None:
+        kwargs = dict(
+            frequency=3e9,
+            charge=2e-11,
+            center=jnp.array([1.0, -2.0, 0.5]),
+            look_at=jnp.array([4.0, 0.0, 1.0]),
+        )
+        ours, theirs = self._pair(ref, **kwargs)
+        points = jnp.array([[5.0, 1.0, 0.0], [1.2, -1.8, 0.9]])
+        e_ours, b_ours = ours.fields(points)
+        e_ref, b_ref = theirs.fields(points)
+        chex.assert_trees_all_close(e_ours, e_ref, rtol=2e-5, atol=1e-10)
+        chex.assert_trees_all_close(b_ours, b_ref, rtol=2e-5, atol=1e-14)
+
+    def test_poynting_vector(self, ref, key) -> None:
+        ours, theirs = self._pair(ref, frequency=2.4e9)
+        points = 3.0 + jax.random.uniform(key, (16, 3))
+        chex.assert_trees_all_close(
+            ours.poynting_vector(points),
+            theirs.poynting_vector(points),
+            rtol=2e-5,
+            atol=1e-10,
+        )
+
+    def test_directivity(self, ref) -> None:
+        ours, theirs = self._pair(ref, frequency=1e9)
+        phi_o, theta_o, d_o = ours.directivity(32)
+        phi_r, theta_r, d_r = theirs.directivity(32)
+        chex.assert_trees_all_close(phi_o, phi_r)
+        chex.assert_trees_all_close(theta_o, theta_r)
+        # The reference returns per-Poynting-component directivity
+        # [..., 3]; our scalar equals its component sum.
+        chex.assert_trees_all_close(d_o, d_r.sum(axis=-1), rtol=1e-4)
+
+    def test_directive_gain(self, ref) -> None:
+        ours, theirs = self._pair(ref, frequency=1e9)
+        chex.assert_trees_all_close(
+            ours.directive_gain(64), theirs.directive_gain(64), rtol=1e-4
+        )
