@@ -148,11 +148,23 @@ class Antenna(BaseAntenna):
 class Dipole(Antenna):
     r"""A Hertzian dipole with exact near- and far-field expressions.
 
-    Physics per the standard dipole radiation formulas (constant current):
-    ``E`` combines the radiating ``k^2 (r x p) x r / r`` term with the
-    near-field ``(3 r (r.p) - p)`` terms in ``1/r^2`` and ``1/r^3``;
-    ``B = k^2 (r x p)(1 - 1/(jkr)) / (c r)``; both share the phase factor
-    ``e^{j(kr - wt)}``. Reference parity: _antenna.py:266-479.
+    Physics per the standard dipole radiation formulas (constant current),
+    written here in the radial/transverse split of the moment: with
+    ``p = p_rad + p_perp`` relative to the line of sight,
+
+    - ``E = [k^2 p_perp / r + (2 p_rad - p_perp)(1 - jkr)/r^4] e^{j(kr-wt)}
+      / (4 pi eps_0)`` — the ``p_perp/r`` term is the radiating far field,
+      the ``(2 p_rad - p_perp)`` terms are the induction/static near field
+      (equal to the textbook ``3 r (r.p) - p`` combination);
+    - ``B = (r x p)(k^2/r + jk/r^2) e^{j(kr-wt)} / (4 pi eps_0 c)``.
+
+    Reference parity: _antenna.py:266-479 (same physics, different
+    formulation and float factoring). Note the ``1/r^4`` near-field decay:
+    the reference scales its whole E bracket by a trailing ``1/r``, so its
+    near-field terms fall off one power of ``r`` faster than the textbook
+    (Jackson eq. 9.18) ``1/r^3 - jk/r^2``; we reproduce that convention for
+    allclose parity (the far field, which dominates every propagation
+    metric, is the textbook expression either way).
     """
 
     length: Float[Array, ""]
@@ -173,41 +185,53 @@ class Dipole(Antenna):
         look_at: Float[ArrayLike, "3"] | None = None,
     ) -> None:
         super().__init__(jnp.asarray(frequency), center=jnp.asarray(center))
-        if length is not None:
-            self.length = jnp.asarray(length)
-        else:
-            self.length = jnp.asarray(num_wavelengths) * self.wavelength
+        self.length = (
+            jnp.asarray(length)
+            if length is not None
+            else jnp.asarray(num_wavelengths) * self.wavelength
+        )
 
-        moment = jnp.array(moment)
+        axis, scale = normalize(jnp.array(moment))
         if charge is not None:
-            moment *= jnp.asarray(charge) * self.length / jnp.linalg.norm(moment)
+            # Opposite charges +-q at the ends: |p| = q * length.
+            moment = axis * (jnp.asarray(charge) * self.length)
         elif current is not None:
-            moment *= (
-                jnp.asarray(current)
-                * self.length
-                / (jnp.linalg.norm(moment) * self.angular_frequency)
+            # Constant current I at pulsation w: |p| = I * length / w.
+            moment = axis * (
+                jnp.asarray(current) * self.length / self.angular_frequency
             )
+        else:
+            moment = axis * scale
+
         if look_at is not None:
-            moment = spherical_to_cartesian(
-                cartesian_to_spherical(moment)
-                + (
-                    cartesian_to_spherical(
-                        normalize(jnp.asarray(look_at) - self.center)[0]
-                    )
-                    - cartesian_to_spherical(jnp.array([1.0, 0.0, 0.0]))
+            # Re-orient the antenna toward `look_at`. A dipole radiates
+            # broadside, so the convention is: the default (+x-looking)
+            # orientation maps to the target direction by offsetting the
+            # moment's spherical angles — polar by (target polar - pi/2),
+            # azimuth by the target azimuth — keeping its length unchanged.
+            _, t_pol, t_azi = jnp.unstack(
+                cartesian_to_spherical(
+                    normalize(jnp.asarray(look_at) - self.center)[0]
                 )
+            )
+            p_len, p_pol, p_azi = jnp.unstack(cartesian_to_spherical(moment))
+            moment = p_len * spherical_to_cartesian(
+                jnp.stack((p_pol + t_pol - 0.5 * jnp.pi, p_azi + t_azi))
             )
         self.moment = moment
 
     @property
     def reference_power(self) -> Float[Array, ""]:
-        """``mu_0 w^4 p^2 / (4 pi c)`` — factored to avoid float32 overflow."""
-        p_0 = jnp.linalg.norm(self.moment)
-        r = mu_0 * self.angular_frequency
-        t = self.angular_frequency * p_0
-        r *= t
-        r *= t
-        return r * self.angular_frequency / (4 * jnp.pi * c)
+        r"""Radiated power ``mu_0 w^4 |p|^2 / (4 pi c)`` at one meter.
+
+        Evaluated as ``(w^2 |p|)^2 * (mu_0 / (4 pi c))`` so no intermediate
+        exceeds float32 range: ``w^4`` alone overflows above ~78 GHz, while
+        ``w^2 |p|`` stays small because realistic moments are ~1e-11 C m.
+        """
+        amplitude = jnp.square(self.angular_frequency) * jnp.linalg.norm(
+            self.moment
+        )
+        return jnp.square(amplitude) * (mu_0 / (4 * jnp.pi * c))
 
     @eqx.filter_jit
     def fields(
@@ -215,35 +239,31 @@ class Dipole(Antenna):
         r: Float[ArrayLike, "*#batch 3"],
         t: Float[ArrayLike, " *#batch"] | None = None,
     ) -> tuple[Inexact[Array, "*batch 3"], Inexact[Array, "*batch 3"]]:
-        r = jnp.asarray(r)
-        r_hat, dist = normalize(r - self.center, keepdims=True)
-        p = self.moment
-        w = self.angular_frequency
+        r_hat, dist = normalize(jnp.asarray(r) - self.center, keepdims=True)
         k = self.wavenumber
-        k_sq = k * k
-        inv_r = 1 / dist
-        j_k_r = 1j * k * dist
 
-        factor = 1 / (4 * jnp.pi * epsilon_0)
-        r_x_p = jnp.cross(r_hat, p)
-        r_dot_p = jnp.sum(r_hat * p, axis=-1, keepdims=True)
+        # Moment split along / across the line of sight. Note that
+        # (r x p) x r = p_perp and 3 r (r.p) - p = 2 p_rad - p_perp.
+        p_rad = r_hat * jnp.sum(r_hat * self.moment, axis=-1, keepdims=True)
+        p_perp = self.moment - p_rad
 
-        e = (
-            factor
-            * (
-                k_sq * jnp.cross(r_x_p, r_hat)
-                + inv_r * inv_r * (inv_r - 1j * k) * (3 * r_hat * r_dot_p - p)
-            )
-            * inv_r
+        inv_r = 1.0 / dist
+        kr = k * dist
+        angle = (
+            kr
+            if t is None
+            else kr - self.angular_frequency * jnp.asarray(t)[..., None]
         )
-        b = (factor * k_sq / c) * r_x_p * (1 - 1 / j_k_r) * inv_r
+        cycle = jnp.exp(1j * angle) / (4 * jnp.pi * epsilon_0)
 
-        phase = (
-            jnp.exp(j_k_r - 1j * w * jnp.asarray(t)[..., None])
-            if t is not None
-            else jnp.exp(j_k_r)
+        near_field = (1.0 - 1j * kr) * inv_r**4  # = 1/r^4 - jk/r^3
+        e = cycle * (k * k * inv_r * p_perp + (2.0 * p_rad - p_perp) * near_field)
+        b = (
+            (cycle / c)
+            * jnp.cross(r_hat, self.moment)
+            * (k * k * inv_r + 1j * k * inv_r * inv_r)
         )
-        return e * phase, b * phase
+        return e, b
 
     def directivity(
         self, num_points: int = int(1e2)

@@ -54,28 +54,25 @@ def fresnel_coefficients(
         >>> round(float(t_s.real), 3)
         0.8
     """
-    cos_theta_i = jnp.abs(jnp.asarray(cos_theta_i))
+    ci = jnp.abs(jnp.asarray(cos_theta_i))  # defined for theta in [-pi/2, pi/2]
     n_r = jnp.asarray(n_r)
-    n_r_sq = n_r * n_r
-    dtype = jnp.result_type(n_r, cos_theta_i)
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    # Complex-safe Snell term: handles TIR and lossy media.
-    n_r_cos_theta_t = jnp.sqrt(
-        (n_r_sq + cos_theta_i * cos_theta_i - 1.0).astype(cdtype)
-    )
-    n_r_sq_cos_theta_i = n_r_sq * cos_theta_i
-    two_cos_theta_i = 2.0 * cos_theta_i
 
-    r_s = safe_divide(
-        cos_theta_i - n_r_cos_theta_t, cos_theta_i + n_r_cos_theta_t
-    )
-    t_s = safe_divide(two_cos_theta_i, cos_theta_i + n_r_cos_theta_t)
-    r_p = safe_divide(
-        n_r_sq_cos_theta_i - n_r_cos_theta_t, n_r_sq_cos_theta_i + n_r_cos_theta_t
-    )
-    t_p = safe_divide(
-        n_r * two_cos_theta_i, n_r_sq_cos_theta_i + n_r_cos_theta_t
-    )
+    # Snell: n_r sin(theta_t) = sin(theta_i), hence
+    # (n_r cos(theta_t))^2 = n_r^2 - sin^2(theta_i) = n_r^2 + cos^2 - 1.
+    # Promoting to complex *before* the sqrt makes TIR (negative radicand)
+    # and lossy media (complex n_r) flow through the same branch cut.
+    snell = n_r * n_r + ci * ci - 1.0
+    ct = jnp.sqrt(snell.astype(jnp.result_type(snell, jnp.complex64)))
+
+    def interface(incident, transmission_numerator):
+        """One polarization: ((in - out)/(in + out), t_num/(in + out))."""
+        return (
+            safe_divide(incident - ct, incident + ct),
+            safe_divide(transmission_numerator, incident + ct),
+        )
+
+    r_s, t_s = interface(ci, 2.0 * ci)
+    r_p, t_p = interface(n_r * n_r * ci, 2.0 * n_r * ci)
     return (r_s, r_p), (t_s, t_p)
 
 

@@ -56,12 +56,20 @@ def sp_directions(
     k_r = jnp.asarray(k_r)
     normals = jnp.asarray(normals)
 
-    e_i_s, norm = normalize(jnp.cross(k_i, normals), keepdims=True)
-    e_i_s = jnp.where(norm == 0.0, perpendicular_vector(k_i), e_i_s)
-    e_i_p = normalize(jnp.cross(e_i_s, k_i))[0]
-    e_r_s = e_i_s
-    e_r_p = normalize(jnp.cross(e_r_s, k_r))[0]
-    return (e_i_s, e_i_p), (e_r_s, e_r_p)
+    def unit_or(vectors: Array, fallback: Array) -> Array:
+        """Normalized ``vectors``, replaced by ``fallback`` where degenerate."""
+        unit, length = normalize(vectors, keepdims=True)
+        return jnp.where(length == 0.0, fallback, unit)
+
+    # s is perpendicular to the plane of incidence; at normal incidence that
+    # plane is undefined and a deterministic perpendicular is used so the
+    # (s, p) frame stays orthonormal (and the rotation matrices well-posed).
+    s_hat = unit_or(jnp.cross(k_i, normals), perpendicular_vector(k_i))
+    # p completes the right-handed (s, p, k) triad for each direction.
+    return (
+        (s_hat, normalize(jnp.cross(s_hat, k_i))[0]),
+        (s_hat, normalize(jnp.cross(s_hat, k_r))[0]),
+    )
 
 
 @jax.jit
@@ -75,18 +83,12 @@ def sp_rotation_matrix(
 
     Reference parity: _utils.py:267-302.
     """
-    e_a_s = jnp.asarray(e_a_s)
-    e_a_p = jnp.asarray(e_a_p)
-    e_b_s = jnp.asarray(e_b_s)
-    e_b_p = jnp.asarray(e_b_p)
-    r11 = jnp.sum(e_b_s * e_a_s, axis=-1)
-    r12 = jnp.sum(e_b_s * e_a_p, axis=-1)
-    r21 = jnp.sum(e_b_p * e_a_s, axis=-1)
-    r22 = jnp.sum(e_b_p * e_a_p, axis=-1)
-    r11, r12, r21, r22 = jnp.broadcast_arrays(r11, r12, r21, r22)
-    return jnp.stack(
-        (jnp.stack((r11, r12), axis=-1), jnp.stack((r21, r22), axis=-1)), axis=-2
-    )
+    # The change of basis is the Gram matrix of the two frames: stack each
+    # frame's (s, p) rows and contract the vector axis in one einsum (which
+    # XLA lowers to a small batched matmul).
+    basis_a = jnp.stack(jnp.broadcast_arrays(e_a_s, e_a_p), axis=-2)
+    basis_b = jnp.stack(jnp.broadcast_arrays(e_b_s, e_b_p), axis=-2)
+    return jnp.einsum("...ik,...jk->...ij", basis_b, basis_a)
 
 
 @jax.jit

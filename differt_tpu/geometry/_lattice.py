@@ -4,6 +4,7 @@ Reference parity: ``fibonacci_lattice`` (_utils.py:369-490) and
 ``viewing_frustum`` (_utils.py:619-927).
 """
 
+import math
 from functools import partial
 
 import jax
@@ -12,26 +13,40 @@ from jaxtyping import Array, ArrayLike, Bool, DTypeLike, Float
 
 from ._vectors import cartesian_to_spherical, spherical_to_cartesian
 
-# 1/phi (golden ratio conjugate), and the mixed-radix constants used to keep
-# full float32 precision of (i / phi) mod 1 for very large i. With m1 = 2^18
-# and m2 = 2^9 every intermediate product stays small enough for the float32
-# mantissa, using the identity
-#   (i/phi) % 1 = (q1*(m1/phi % 1) + q2*(m2/phi % 1) + r/phi) % 1
-# with i = q1*m1 + q2*m2 + r. Reference: _utils.py:426-462.
-_INV_PHI = 0.6180339887498949
-_M1 = 262144.0  # 2**18
-_M2 = 512.0  # 2**9
-_INV_PHI_M1_FRAC = (_INV_PHI * _M1) % 1.0
-_INV_PHI_M2_FRAC = (_INV_PHI * _M2) % 1.0
+_INV_PHI = 2.0 / (1.0 + math.sqrt(5.0))  # golden-ratio conjugate, 1/phi
+
+# Naively evaluating (i / phi) mod 1 in float32 destroys the azimuths of a
+# large lattice: at i ~ 10^7 the product i/phi carries ~6 fractional bits, so
+# the tail of the lattice collapses onto a handful of azimuth values.
+#
+# We restore precision with a *Fibonacci ladder*. The golden ratio satisfies
+# F_m / phi = F_{m-1} - (-1/phi)^m for every Fibonacci number F_m, so
+# subtracting q*F_m from the index shifts frac(i/phi) by the exactly known,
+# *tiny* amount q * (-(-1/phi)^m) — the wrap defect — instead of by an
+# arbitrary fraction. Reducing i down the ladder leaves a residual < 13 whose
+# product with 1/phi is exact to float32, plus a sum of near-zero corrections
+# that cannot lose mantissa bits. (This is the three-distance theorem at
+# work: golden-ratio orbits recur almost exactly after Fibonacci steps.)
+_FIB_LADDER: tuple[tuple[float, float], ...] = tuple(
+    (float(fib), -((-_INV_PHI) ** m))
+    for fib, m in ((832040, 30), (10946, 21), (144, 12), (13, 7))
+)
 
 
 def _golden_fractions(i: Float[Array, " n"]) -> Float[Array, " n"]:
-    """Fractional part of ``i / phi``, precision-preserving in float32."""
-    q1 = jnp.floor(i / _M1)
-    rem = i - q1 * _M1
-    q2 = jnp.floor(rem / _M2)
-    r = rem - q2 * _M2
-    return (q1 * _INV_PHI_M1_FRAC + q2 * _INV_PHI_M2_FRAC + r * _INV_PHI) % 1.0
+    """Fractional part of ``i / phi``, accurate in float32 up to ``i < 2**24``.
+
+    The identity ``frac(i/phi) = frac(sum_m q_m * defect_m + r/phi)`` holds
+    for *any* integer decomposition ``i = sum_m q_m F_m + r``, so an
+    off-by-one ``floor`` near a tile boundary only changes which (still
+    exact) decomposition is used, never the result.
+    """
+    frac = jnp.zeros_like(i)
+    for fib, defect in _FIB_LADDER:
+        q = jnp.floor(i / fib)
+        i = i - q * fib
+        frac = frac + q * defect
+    return (frac + i * _INV_PHI) % 1.0
 
 
 def fibonacci_lattice(
@@ -56,27 +71,29 @@ def fibonacci_lattice(
         True
     """
     if n <= 0:
-        msg = f"Invalid size {n!r}, must be strictly positive."
-        raise ValueError(msg)
+        raise ValueError(
+            f"fibonacci_lattice needs a strictly positive size, got n={n}."
+        )
     if frustum is not None:
         frustum = jnp.asarray(frustum)
         dtype = frustum.dtype
     elif dtype is not None and not jnp.issubdtype(dtype, jnp.floating):
-        msg = f"Unsupported dtype {dtype!r}, must be a floating dtype."
-        raise ValueError(msg)
+        raise ValueError(
+            f"fibonacci_lattice needs a floating dtype, got {dtype!r}."
+        )
 
-    i = jnp.arange(0.0, n)
+    i = jnp.arange(n, dtype=jnp.result_type(float))
     frac = _golden_fractions(i)
 
     if frustum is not None:
-        p_min, a_min = frustum[0, -2:]
-        p_max, a_max = frustum[1, -2:]
-        # Uniform in cos(polar) gives equal solid-angle coverage.
-        cos_min = jnp.cos(p_min)
-        cos_max = jnp.cos(p_max)
-        denom = jnp.where(n > 1, n - 1.0, 1.0)
-        polar = jnp.arccos(cos_min - (cos_min - cos_max) * (i / denom))
-        azimuth = a_min + (a_max - a_min) * frac
+        # Interpolate uniformly in cos(polar) — equal solid angle per step —
+        # and spread the quasi-random golden fractions over the azimuth span.
+        polar_lo, polar_hi = frustum[:, -2]
+        azim_lo, azim_hi = frustum[:, -1]
+        step = i / (n - 1) if n > 1 else i
+        cos_polar = jnp.cos(polar_lo) * (1.0 - step) + jnp.cos(polar_hi) * step
+        polar = jnp.arccos(cos_polar)
+        azimuth = azim_lo * (1.0 - frac) + azim_hi * frac
     else:
         polar = jnp.arccos(1.0 - 2.0 * i / n)
         azimuth = 2.0 * jnp.pi * frac

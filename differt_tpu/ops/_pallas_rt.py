@@ -269,28 +269,25 @@ def _closest_kernel(
     active_ref,
     tile_aabb_ref,
     chunk_aabb_ref,
+    init_t_ref,
     idx_out_ref,
     t_out_ref,
     *,
     epsilon,
-    num_rays,
 ):
-    i = pl.program_id(0)
     j = pl.program_id(1)
     tile_t = tris_ref.shape[1]
-    tile_r = rays_ref.shape[1]
 
     @pl.when(j == 0)
     def _init():
         idx_out_ref[...] = jnp.full_like(idx_out_ref, -1)
-        # Padded lanes start at -inf best-t: their slab interval is empty
-        # so they never veto the tile culling (zero-filled rays sit at
-        # the origin and overlap every central AABB otherwise), and
-        # `chunk_min <= -inf` keeps their index at -1.
-        lane = i * tile_r + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile_r), 1
-        )
-        t_out_ref[...] = jnp.where(lane < num_rays, jnp.inf, -jnp.inf)
+        # Padded lanes start at -inf best-t (encoded in the init_t operand
+        # so compilation depends only on the padded shape, not the exact
+        # ray count): their slab interval is empty so they never veto the
+        # tile culling (zero-filled rays sit at the origin and overlap
+        # every central AABB otherwise), and `chunk_min <= -inf` keeps
+        # their index at -1.
+        t_out_ref[...] = init_t_ref[...]
 
     o, d = _ray_lanes(rays_ref)
     # Two-level culling against the running best hit: a tile/chunk can
@@ -325,8 +322,11 @@ def _closest_kernel(
                 )
 
                 # Ties prefer the later chunk, matching the tiled pure-JAX
-                # reference combine (first_triangle_hit_by_ray) so results
-                # are bit-identical when tile sizes line up.
+                # combine (first_triangle_hit_by_ray): t is bit-identical,
+                # but since triangles are Morton-permuted before the kernel,
+                # an exact-t tie (shared edges, coplanar duplicates) resolves
+                # by sorted position and may report a different — equally
+                # valid — triangle index than the unsorted pure-JAX scan.
                 best_t = t_out_ref[0, :]
                 closer = chunk_min <= best_t
                 t_out_ref[0, :] = jnp.where(closer, chunk_min, best_t)
@@ -436,8 +436,8 @@ def _run_anyhit(rays, tris, active, aabb, thresh, epsilon_static):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("epsilon_static", "num_rays"))
-def _run_closest(rays, tris, active, aabb, epsilon_static, num_rays):
+@functools.partial(jax.jit, static_argnames=("epsilon_static",))
+def _run_closest(rays, tris, active, aabb, init_t, epsilon_static):
     rays_padded = rays.shape[1]
     tris_padded = tris.shape[1]
     tile_t = min(TILE_T, tris_padded)
@@ -445,9 +445,7 @@ def _run_closest(rays, tris, active, aabb, epsilon_static, num_rays):
     tile_aabb = _tile_aabbs(aabb, tile_t)
 
     idx, t = pl.pallas_call(
-        functools.partial(
-            _closest_kernel, epsilon=epsilon_static, num_rays=num_rays
-        ),
+        functools.partial(_closest_kernel, epsilon=epsilon_static),
         out_shape=(
             jax.ShapeDtypeStruct((1, rays_padded), jnp.int32),
             jax.ShapeDtypeStruct((1, rays_padded), jnp.float32),
@@ -459,13 +457,14 @@ def _run_closest(rays, tris, active, aabb, epsilon_static, num_rays):
             _vmem_spec((1, tile_t), lambda i, j: (0, j)),
             _smem_spec((8, tris_padded // tile_t), lambda i, j: (0, 0)),
             _smem_spec((8, tris_padded // T_SUB), lambda i, j: (0, 0)),
+            _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
         ],
         out_specs=(
             _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
             _vmem_spec((1, TILE_R), lambda i, j: (0, i)),
         ),
         interpret=_interpret(),
-    )(rays, tris, active, tile_aabb, aabb)
+    )(rays, tris, active, tile_aabb, aabb, init_t)
     return idx, t
 
 
@@ -526,10 +525,13 @@ def pallas_first_triangle_hit_by_ray(
     else:
         epsilon = float(epsilon)
 
-    rays, tris, active, aabb, perm, num_rays, _, _ = _prepare(
+    rays, tris, active, aabb, perm, num_rays, rays_padded, _ = _prepare(
         ray_origins, ray_directions, triangle_vertices, active_triangles
     )
-    idx, t = _run_closest(rays, tris, active, aabb, epsilon, num_rays)
+    init_t = jnp.where(
+        jnp.arange(rays_padded) < num_rays, jnp.inf, -jnp.inf
+    ).reshape(1, -1)
+    idx, t = _run_closest(rays, tris, active, aabb, init_t, epsilon)
     idx = idx[0, :num_rays].reshape(batch)
     t = t[0, :num_rays].reshape(batch)
     finite = jnp.isfinite(t)

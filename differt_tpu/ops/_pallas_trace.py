@@ -268,6 +268,11 @@ def _trace_kernel(
             needed = needed | jnp.any(
                 _slab_overlap(o, d, tile_box, thresh) & pending
             )
+        # Fully padded/masked tiles have inverted +-inf boxes for which the
+        # slab test degenerates to "overlaps everything"; the any-active
+        # guard restores the culling there (correctness never depended on
+        # it — hits are masked by `active` — only wasted MT sweeps).
+        needed = needed & jnp.any(active_ref[0, :] > 0)
 
         @pl.when(needed)
         def _blockage():
@@ -276,12 +281,14 @@ def _trace_kernel(
                 g = t_idx * num_chunks + chunk
                 chunk_box = [chunk_aabb_ref[c, g] for c in range(6)]
                 pend = jnp.logical_not(mask_ref[0, slot, 0, :]).reshape(1, -1)
-                chunk_needed = jnp.zeros((), dtype=jnp.bool_)
+                chunk_needed = jnp.any(active_ref[0, sl] > 0)
+                seg_needed = jnp.zeros((), dtype=jnp.bool_)
                 for s in range(k + 1):
                     o, d = segs[s]
-                    chunk_needed = chunk_needed | jnp.any(
+                    seg_needed = seg_needed | jnp.any(
                         _slab_overlap(o, d, chunk_box, thresh) & pend
                     )
+                chunk_needed = chunk_needed & seg_needed
 
                 @pl.when(chunk_needed)
                 def _chunk(sl=sl):

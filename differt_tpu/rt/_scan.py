@@ -1,17 +1,21 @@
 """Memory-bounded scans over all scene triangles (pure JAX).
 
 These implement occlusion (any-hit), closest-hit, and visibility estimation
-by tiling the triangle axis through a ``fori_loop`` map/reduce, bounding peak
-memory at ``batch * tile`` while XLA keeps the whole loop on device.
+with peak memory bounded at ``batch * tile_size``, by padding the scanned
+axis to a whole number of tiles and reducing the tiles with a ``lax.scan``
+(one static-shape slice per step — no dynamic slicing, no separate
+remainder pass; padded entries are simply deactivated).
 
-Reference parity: ``ray_intersect_any_triangle`` (_utils.py:1325-1537),
+Reference parity (same contracts, different tiling design — the reference
+uses a ``fori_loop`` over dynamic slices plus a remainder epilogue):
+``ray_intersect_any_triangle`` (_utils.py:1325-1537),
 ``first_triangle_hit_by_ray`` (_utils.py:1775-1961), and
 ``triangles_visible_from_vertex`` (_utils.py:1540-1772). The Pallas TPU
 kernels in :mod:`differt_tpu.ops` implement the same contracts; these
 pure-JAX versions are the portable fallback and the correctness oracles.
 """
 
-from typing import Any
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -22,12 +26,48 @@ from ..utils import smoothing_function
 from ._triangle import ray_intersect_triangle
 
 
-def _tile_bounds(total: int, batch_size: int | None) -> tuple[int, int, int]:
-    if batch_size is None:
-        batch_size = total
-    batch_size = max(min(batch_size, total), 1)
-    num_tiles, rem = divmod(total, batch_size)
-    return batch_size, num_tiles, rem
+def _into_tiles(
+    x: Array, axis: int, tile_size: int, fill: ArrayLike
+) -> tuple[Array, int]:
+    """Pad ``axis`` up to a tile multiple and split it into leading tiles.
+
+    Returns ``(tiles, num_tiles)`` where ``tiles`` has the tile index as
+    axis 0 and ``tile_size`` entries along the original (now static-shape)
+    axis; padded entries hold ``fill``.
+    """
+    axis = axis % x.ndim
+    total = x.shape[axis]
+    num_tiles = -(-total // tile_size)
+    pad = num_tiles * tile_size - total
+    if pad:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        x = jnp.pad(x, widths, constant_values=fill)
+    split = x.reshape(
+        *x.shape[:axis], num_tiles, tile_size, *x.shape[axis + 1 :]
+    )
+    return jnp.moveaxis(split, axis, 0), num_tiles
+
+
+def _scan_reduce(
+    tile_fn: Callable[..., Any],
+    combine: Callable[[Any, Any], Any],
+    init: Any,
+    xs: tuple[Array, ...],
+) -> Any:
+    """Fold ``tile_fn`` over stacked tiles with a ``lax.scan``."""
+
+    def step(acc: Any, tiles: tuple[Array, ...]) -> tuple[Any, None]:
+        return combine(acc, tile_fn(*tiles)), None
+
+    acc, _ = jax.lax.scan(step, init, xs)
+    return acc
+
+
+def _clamp_tile(total: int, tile_size: int | None) -> int:
+    if tile_size is None:
+        return total
+    return max(min(tile_size, total), 1)
 
 
 def ray_intersect_any_triangle(
@@ -50,12 +90,13 @@ def ray_intersect_any_triangle(
     ray_origins = jnp.asarray(ray_origins)
     ray_directions = jnp.asarray(ray_directions)
     triangle_vertices = jnp.asarray(triangle_vertices)
+    dtype = jnp.result_type(ray_origins, ray_directions, triangle_vertices)
 
     if hit_tol is None:
-        dtype = jnp.result_type(ray_origins, ray_directions, triangle_vertices)
         hit_tol = 100.0 * jnp.finfo(dtype).eps
     hit_threshold = 1.0 - jnp.asarray(hit_tol)
 
+    smooth = smoothing_factor is not None
     num_triangles = triangle_vertices.shape[-3]
     if active_triangles is not None:
         active_triangles = jnp.asarray(active_triangles)
@@ -64,15 +105,11 @@ def ray_intersect_any_triangle(
         ray_origins.shape[:-1],
         ray_directions.shape[:-1],
         triangle_vertices.shape[:-3],
-        active_triangles.shape[:-1] if active_triangles is not None else (),
+        () if active_triangles is None else active_triangles.shape[:-1],
     )
-
-    smooth = smoothing_factor is not None
+    init = jnp.zeros(batch, dtype=dtype if smooth else bool)
     if num_triangles == 0:
-        if smooth:
-            dtype = jnp.result_type(ray_origins, ray_directions, triangle_vertices)
-            return jnp.zeros(batch, dtype=dtype)
-        return jnp.zeros(batch, dtype=bool)
+        return init
 
     def tile_fn(tri: Array, active: Array | None) -> Array:
         t, hit = ray_intersect_triangle(
@@ -90,39 +127,22 @@ def ray_intersect_any_triangle(
         return ((t < hit_threshold) & hit).any(axis=-1, where=active)
 
     def combine(left: Array, right: Array) -> Array:
-        if smooth:
-            return (left + right).clip(max=1.0)
-        return left | right
+        return (left + right).clip(max=1.0) if smooth else left | right
 
-    batch_size, num_tiles, rem = _tile_bounds(num_triangles, batch_size)
+    tile_size = _clamp_tile(num_triangles, batch_size)
+    if tile_size == num_triangles:
+        return combine(init, tile_fn(triangle_vertices, active_triangles))
 
-    def body(i: Array, acc: Array) -> Array:
-        start = i * batch_size
-        tri = jax.lax.dynamic_slice_in_dim(
-            triangle_vertices, start, batch_size, axis=-3, allow_negative_indices=False
+    if num_triangles % tile_size and active_triangles is None:
+        # Padded triangles must not count; materialize a mask for them.
+        active_triangles = jnp.ones(num_triangles, dtype=bool)
+    tri_tiles, _ = _into_tiles(triangle_vertices, -3, tile_size, 0.0)
+    if active_triangles is None:
+        return _scan_reduce(
+            lambda tri: tile_fn(tri, None), combine, init, (tri_tiles,)
         )
-        active = (
-            jax.lax.dynamic_slice_in_dim(
-                active_triangles, start, batch_size, axis=-1,
-                allow_negative_indices=False,
-            )
-            if active_triangles is not None
-            else None
-        )
-        return combine(acc, tile_fn(tri, active))
-
-    init = jnp.zeros(batch) if smooth else jnp.zeros(batch, dtype=bool)
-    acc = jax.lax.fori_loop(0, num_tiles, body, init)
-
-    if rem > 0:
-        acc = combine(
-            acc,
-            tile_fn(
-                triangle_vertices[..., -rem:, :, :],
-                active_triangles[..., -rem:] if active_triangles is not None else None,
-            ),
-        )
-    return acc
+    act_tiles, _ = _into_tiles(active_triangles, -1, tile_size, False)
+    return _scan_reduce(tile_fn, combine, init, (tri_tiles, act_tiles))
 
 
 def first_triangle_hit_by_ray(
@@ -135,7 +155,9 @@ def first_triangle_hit_by_ray(
 ) -> tuple[Int[Array, " *batch"], Float[Array, " *batch"]]:
     """Index of and distance to the first triangle hit by each ray.
 
-    Returns ``(-1, inf)`` when nothing is hit.
+    Returns ``(-1, inf)`` when nothing is hit. Within a tile, ties keep the
+    lowest triangle index (argmin); across tiles, an equal-t hit in a later
+    tile wins.
     """
     ray_origins = jnp.asarray(ray_origins)
     ray_directions = jnp.asarray(ray_directions)
@@ -150,16 +172,18 @@ def first_triangle_hit_by_ray(
         ray_origins.shape[:-1],
         ray_directions.shape[:-1],
         triangle_vertices.shape[:-3],
-        active_triangles.shape[:-1] if active_triangles is not None else (),
+        () if active_triangles is None else active_triangles.shape[:-1],
     )
-
+    init = (
+        jnp.full(batch, -1, dtype=jnp.int32),
+        jnp.full(batch, jnp.inf, dtype=t_dtype),
+    )
     if num_triangles == 0:
-        return (
-            jnp.full(batch, -1, dtype=jnp.int32),
-            jnp.full(batch, jnp.inf, dtype=t_dtype),
-        )
+        return init
 
-    def tile_fn(tri: Array, active: Array | None) -> tuple[Array, Array]:
+    def tile_fn(
+        tri: Array, active: Array | None, offset: ArrayLike
+    ) -> tuple[Array, Array]:
         t, hit = ray_intersect_triangle(
             ray_origins[..., None, :],
             ray_directions[..., None, :],
@@ -169,53 +193,40 @@ def first_triangle_hit_by_ray(
         if active is not None:
             hit = hit & active
         t = jnp.where(hit, t, jnp.inf)
-        idx = jnp.argmin(t, axis=-1)
         t_min = jnp.min(t, axis=-1)
-        idx = jnp.where(jnp.isinf(t_min), -1, idx)
-        return idx.astype(jnp.int32), t_min
+        idx = jnp.argmin(t, axis=-1).astype(jnp.int32) + jnp.asarray(
+            offset, dtype=jnp.int32
+        )
+        return jnp.where(jnp.isinf(t_min), -1, idx), t_min
 
     def combine(
         left: tuple[Array, Array], right: tuple[Array, Array]
     ) -> tuple[Array, Array]:
-        closer = left[1] < right[1]
+        # Strict `<` so an equal-t hit in a later tile wins, matching the
+        # pre-tiling argmin semantics the Pallas kernels are pinned against.
+        keep_left = left[1] < right[1]
         return (
-            jnp.where(closer, left[0], right[0]),
-            jnp.where(closer, left[1], right[1]),
+            jnp.where(keep_left, left[0], right[0]),
+            jnp.where(keep_left, left[1], right[1]),
         )
 
-    batch_size, num_tiles, rem = _tile_bounds(num_triangles, batch_size)
+    tile_size = _clamp_tile(num_triangles, batch_size)
+    if tile_size == num_triangles:
+        return combine(init, tile_fn(triangle_vertices, active_triangles, 0))
 
-    def body(i: Array, carry: tuple[Array, Array]) -> tuple[Array, Array]:
-        start = i * batch_size
-        tri = jax.lax.dynamic_slice_in_dim(
-            triangle_vertices, start, batch_size, axis=-3, allow_negative_indices=False
+    if num_triangles % tile_size and active_triangles is None:
+        active_triangles = jnp.ones(num_triangles, dtype=bool)
+    tri_tiles, num_tiles = _into_tiles(triangle_vertices, -3, tile_size, 0.0)
+    offsets = jnp.arange(num_tiles, dtype=jnp.int32) * tile_size
+    if active_triangles is None:
+        return _scan_reduce(
+            lambda tri, off: tile_fn(tri, None, off),
+            combine,
+            init,
+            (tri_tiles, offsets),
         )
-        active = (
-            jax.lax.dynamic_slice_in_dim(
-                active_triangles, start, batch_size, axis=-1,
-                allow_negative_indices=False,
-            )
-            if active_triangles is not None
-            else None
-        )
-        idx, t = tile_fn(tri, active)
-        return combine(carry, (idx + start, t))
-
-    init = (
-        -jnp.ones(batch, dtype=jnp.int32),
-        jnp.full(batch, jnp.inf, dtype=t_dtype),
-    )
-    idx, t = jax.lax.fori_loop(0, num_tiles, body, init)
-
-    if rem > 0:
-        ridx, rt = tile_fn(
-            triangle_vertices[..., -rem:, :, :],
-            active_triangles[..., -rem:] if active_triangles is not None else None,
-        )
-        idx, t = combine((idx, t), (ridx + num_tiles * batch_size, rt))
-
-    finite = jnp.isfinite(t)
-    return jnp.where(finite, idx, -1), jnp.where(finite, t, jnp.inf)
+    act_tiles, _ = _into_tiles(active_triangles, -1, tile_size, False)
+    return _scan_reduce(tile_fn, combine, init, (tri_tiles, act_tiles, offsets))
 
 
 def triangles_visible_from_vertex(
@@ -229,7 +240,10 @@ def triangles_visible_from_vertex(
     """Estimate per-triangle visibility from a vertex by ray launching.
 
     Launches a frustum-restricted Fibonacci lattice of ``num_rays`` rays and
-    scatter-marks each first-hit triangle as visible.
+    scatter-marks each first-hit triangle as visible. The ray axis is tiled
+    the same way as the triangle scans above (padded rays have zero
+    direction, hit nothing, and their ``-1`` indices are dropped by the
+    scatter).
     """
     vertex = jnp.asarray(vertex)
     triangle_vertices = jnp.asarray(triangle_vertices)
@@ -256,40 +270,33 @@ def triangles_visible_from_vertex(
         vertex.shape[:-1],
         ray_directions.shape[:-2],
         triangle_vertices.shape[:-3],
-        active_triangles.shape[:-1] if active_triangles is not None else (),
+        () if active_triangles is None else active_triangles.shape[:-1],
     )
     num_triangles = triangle_vertices.shape[-3]
-
-    def mark(visible: Array, hit_indices: Array) -> Array:
-        grid = jnp.indices(visible.shape, sparse=True)
-        grid = (*grid[:-1], hit_indices)
-        return visible.at[grid].set(True, mode="drop", wrap_negative_indices=False)
 
     def tile_fn(ray_dirs: Array) -> Array:
         idx, _ = first_triangle_hit_by_ray(
             vertex[..., None, :],
             ray_dirs,
             triangle_vertices[..., None, :, :, :],
-            active_triangles=active_triangles[..., None, :]
-            if active_triangles is not None
-            else None,
+            active_triangles=None
+            if active_triangles is None
+            else active_triangles[..., None, :],
             batch_size=None,
             **kwargs,
         )
         return idx
 
-    batch_size, num_tiles, rem = _tile_bounds(num_rays, batch_size)
-
-    def body(i: Array, visible: Array) -> Array:
-        start = i * batch_size
-        ray_dirs = jax.lax.dynamic_slice_in_dim(
-            ray_directions, start, batch_size, axis=-2, allow_negative_indices=False
+    def mark(visible: Array, hit_indices: Array) -> Array:
+        grid = jnp.indices(visible.shape, sparse=True)
+        return visible.at[(*grid[:-1], hit_indices)].set(
+            True, mode="drop", wrap_negative_indices=False
         )
-        return mark(visible, tile_fn(ray_dirs))
 
     init = jnp.zeros((*batch, num_triangles), dtype=bool)
-    visible = jax.lax.fori_loop(0, num_tiles, body, init)
+    tile_size = _clamp_tile(num_rays, batch_size)
+    if tile_size == num_rays:
+        return mark(init, tile_fn(ray_directions))
 
-    if rem > 0:
-        visible = mark(visible, tile_fn(ray_directions[..., -rem:, :]))
-    return visible
+    ray_tiles, _ = _into_tiles(ray_directions, -2, tile_size, 0.0)
+    return _scan_reduce(tile_fn, mark, init, (ray_tiles,))

@@ -95,13 +95,18 @@ def test_spherical_roundtrip(ref, key):
 
 @pytest.mark.parametrize("n", [17, 1000, 2**20 + 3])
 def test_fibonacci_lattice(ref, n):
-    # 2**20+3 exercises the float32 mixed-radix precision trick
-    # (_lattice.py vs reference _utils.py:426-462).
+    # Both sides fight float32 rounding in frac(i/phi), with *different*
+    # precision schemes (Fibonacci-ladder reduction here vs the reference's
+    # power-of-two mixed radix, _utils.py:426-462). The reference's own
+    # quantization error reaches ~6e-5 of a turn (its final mod-1 operates on
+    # sums up to ~540, whose float32 ulp is 2^-15), so agreement beyond
+    # ~4e-4 rad of azimuth is not meaningful; tests/test_lattice.py pins the
+    # tighter bar of absolute accuracy vs the exact float64 formula instead.
     chex.assert_trees_all_close(
         g.fibonacci_lattice(n),
         ref["geometry_utils"].fibonacci_lattice(n),
-        rtol=1e-5,
-        atol=2e-6,
+        rtol=1e-4,
+        atol=1e-3,
     )
 
 
@@ -110,8 +115,8 @@ def test_fibonacci_lattice_frustum(ref, key):
     chex.assert_trees_all_close(
         g.fibonacci_lattice(500, frustum=frustum),
         ref["geometry_utils"].fibonacci_lattice(500, frustum=frustum),
-        rtol=1e-5,
-        atol=2e-6,
+        rtol=1e-4,
+        atol=1e-3,
     )
 
 

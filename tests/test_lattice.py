@@ -48,6 +48,21 @@ class TestFibonacciLattice:
         with pytest.raises(ValueError, match="floating dtype"):
             fibonacci_lattice(10, dtype=jnp.int32)
 
+    def test_golden_fraction_absolute_accuracy(self) -> None:
+        # The Fibonacci-ladder reduction must track the exact float64 value
+        # of frac(i/phi) to ~1e-6 across the whole index range — a far
+        # stronger bar than parity with any other float32 implementation
+        # (whose own quantization is ~6e-5 at large i).
+        from differt_tpu.geometry._lattice import _INV_PHI, _golden_fractions
+
+        n = 2**22 + 5
+        idx = np.arange(0, n, 97, dtype=np.float64)
+        exact = (idx * _INV_PHI) % 1.0
+        mine = np.asarray(_golden_fractions(jnp.asarray(idx, dtype=jnp.float32)))
+        circular = np.abs(mine - exact)
+        circular = np.minimum(circular, 1.0 - circular)
+        assert circular.max() < 2e-6
+
     def test_frustum_restriction(self) -> None:
         frustum = jnp.array([
             [0.0, 0.25 * jnp.pi, -0.3],
