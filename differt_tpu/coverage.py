@@ -426,6 +426,58 @@ def _resolve_materials(scene, frequency, eta_r, conductivity, thickness):
     return jnp.asarray(eta_r), jnp.asarray(conductivity), thickness
 
 
+@eqx.filter_jit
+def _coverage_tile(
+    scene: Scene,
+    tx: Float[Array, "num_tx 3"],
+    rx_tile: Float[Array, "rx_chunk 3"],
+    cand_chunk: Array,
+    itype_chunk: Array,
+    chunk_valid: Array,
+    frequency: Float[Array, ""],
+    eta_r: Float[Array, " num_materials"],
+    conductivity: Float[Array, " num_materials"],
+    thickness: Float[Array, " num_materials"] | None,
+    tx_pattern,
+    coherent: bool,
+    megakernel: bool | None,
+    batch_size: int | None,
+) -> Complex[Array, "num_tx rx_chunk"] | Float[Array, "num_tx rx_chunk"]:
+    """One (RX tile, candidate chunk) step of :func:`power_map_chunked`.
+
+    Module-level (stable jit identity) on purpose: a per-call closure would
+    capture the material arrays as jaxpr constants and force a full XLA
+    recompile of the fused trace+EM graph on every ``power_map_chunked``
+    invocation — measured at 20-120 s per compile at city scale.
+    """
+    from .rt._solvers import trace_path_candidates
+
+    import differt_tpu.treekit as tk
+
+    paths = trace_path_candidates(
+        scene.mesh,
+        tx,
+        rx_tile,
+        cand_chunk,
+        interaction_types=itype_chunk,
+        megakernel=megakernel,
+        batch_size=batch_size,
+    )
+    paths = tk.tree_at(lambda p: p.mask, paths, paths.mask & chunk_valid)
+    a = complex_amplitudes(
+        paths,
+        scene,
+        frequency,
+        eta_r=eta_r,
+        conductivity=conductivity,
+        thickness=thickness,
+        tx_pattern=tx_pattern,
+    )
+    if coherent:
+        return a.sum(axis=-1)
+    return (jnp.abs(a) ** 2).sum(axis=-1)
+
+
 def power_map_chunked(
     scene: Scene,
     frequency: Float[ArrayLike, ""],
@@ -463,7 +515,7 @@ def power_map_chunked(
     (_solvers.py:850-934, graph.rs:77-116); here chunks are decoded and
     traced without leaving the device.
     """
-    from .rt._solvers import _SOLVER_REGISTRY, trace_path_candidates
+    from .rt._solvers import _SOLVER_REGISTRY
 
     eta_r, conductivity, thickness = _resolve_materials(
         scene, frequency, eta_r, conductivity, thickness
@@ -473,6 +525,15 @@ def power_map_chunked(
     rx_all = scene.receivers.reshape(-1, 3)
     tx_batch = scene.transmitters.shape[:-1]
     rx_batch = scene.receivers.shape[:-1]
+
+    # The tile step only needs the mesh (and materials); strip the
+    # receiver grid so its (possibly 10^6-point) array is not hashed and
+    # threaded through every per-tile jit call.
+    import differt_tpu.treekit as tk
+
+    scene_tile = tk.tree_at(
+        lambda s: s.receivers, scene, jnp.zeros((0, 3), rx_all.dtype)
+    )
 
     if path_candidates is None:
         solver_obj = (
@@ -516,33 +577,6 @@ def power_map_chunked(
             (rx_all, jnp.broadcast_to(rx_all[:1], (pad_r, 3))), axis=0
         )
 
-    @jax.jit
-    def tile(rx_tile, cand_chunk, itype_chunk, chunk_valid):
-        paths = trace_path_candidates(
-            scene.mesh,
-            tx,
-            rx_tile,
-            cand_chunk,
-            interaction_types=itype_chunk,
-            megakernel=megakernel,
-            batch_size=batch_size,
-        )
-        import differt_tpu.treekit as tk
-
-        paths = tk.tree_at(lambda p: p.mask, paths, paths.mask & chunk_valid)
-        a = complex_amplitudes(
-            paths,
-            scene,
-            frequency,
-            eta_r=eta_r,
-            conductivity=conductivity,
-            thickness=thickness,
-            tx_pattern=tx_pattern,
-        )
-        if coherent:
-            return a.sum(axis=-1)
-        return (jnp.abs(a) ** 2).sum(axis=-1)
-
     num_chunks = candidates.shape[0] // candidate_chunk
     out_tiles = []
     for r0 in range(0, rx_all.shape[0], rx_chunk):
@@ -553,11 +587,21 @@ def power_map_chunked(
             chunk_valid = (
                 jnp.arange(lo, lo + candidate_chunk) < num_candidates
             )
-            part = tile(
+            part = _coverage_tile(
+                scene_tile,
+                tx,
                 rx_tile,
                 candidates[lo : lo + candidate_chunk],
                 itypes[lo : lo + candidate_chunk],
                 chunk_valid,
+                frequency,
+                eta_r,
+                conductivity,
+                thickness,
+                tx_pattern,
+                coherent,
+                megakernel,
+                batch_size,
             )
             acc = part if acc is None else acc + part
         out_tiles.append(acc)

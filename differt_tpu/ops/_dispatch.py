@@ -55,10 +55,16 @@ def _anyhit_backend(
     active_triangles: Bool[Array, " num_triangles"] | None,
     hit_threshold: Float[Array, ""],
     epsilon: Float[Array, ""] | None,
+    active_rays: Bool[Array, " *batch"] | None = None,
 ) -> Bool[Array, " *batch"]:
     if get_backend() == "pallas":
         from ._pallas_rt import pallas_ray_intersect_any_triangle
 
+        if active_rays is not None:
+            # Inactive rays get a negative threshold: their slab interval
+            # is empty inside the kernel, so they are never "pending" and
+            # the AABB culling skips their (potentially wild) segments.
+            hit_threshold = jnp.where(active_rays, hit_threshold, -1.0)
         return pallas_ray_intersect_any_triangle(
             ray_origins,
             ray_directions,
@@ -67,7 +73,7 @@ def _anyhit_backend(
             hit_threshold=hit_threshold,
             epsilon=epsilon,
         )
-    return _jax_anyhit(
+    out = _jax_anyhit(
         ray_origins,
         ray_directions,
         triangle_vertices,
@@ -75,6 +81,9 @@ def _anyhit_backend(
         hit_tol=1.0 - hit_threshold,
         epsilon=epsilon,
     )
+    if active_rays is not None:
+        out = out & active_rays
+    return out
 
 
 def _closest_hit_backend(
@@ -100,14 +109,27 @@ def dispatch_ray_intersect_any_triangle(
     ray_directions: Float[Array, "*batch 3"],
     *,
     hit_tol: Float[Array, ""] | None = None,
+    active_rays: Bool[Array, " *batch"] | None = None,
     **kwargs: Any,
 ) -> Bool[Array, " *batch"]:
-    """Mesh-level any-hit occlusion test (non-differentiable, fast path)."""
+    """Mesh-level any-hit occlusion test (non-differentiable, fast path).
+
+    ``active_rays`` marks the rays whose result matters; inactive rays
+    report "not blocked" and are skipped by the accelerated backend (their
+    coordinates are sanitized first, so non-finite segments from invalid
+    image-method paths are harmless).
+    """
     if mesh.num_triangles == 0:
         batch = jnp.broadcast_shapes(ray_origins.shape[:-1], ray_directions.shape[:-1])
         return jnp.zeros(batch, dtype=bool)
 
     ray_origins, ray_directions = jnp.broadcast_arrays(ray_origins, ray_directions)
+
+    if active_rays is not None:
+        active_rays = jnp.broadcast_to(active_rays, ray_origins.shape[:-1])
+        keep = active_rays[..., None]
+        ray_origins = jnp.where(keep, ray_origins, 0.0)
+        ray_directions = jnp.where(keep, ray_directions, 0.0)
 
     if hit_tol is None:
         dtype = jnp.result_type(ray_origins, ray_directions, mesh.vertices)
@@ -126,6 +148,7 @@ def dispatch_ray_intersect_any_triangle(
         mesh.mask,
         hit_threshold,
         kwargs.get("epsilon"),
+        active_rays=active_rays,
     )
     return jax.lax.stop_gradient(out)
 

@@ -474,7 +474,7 @@ def pallas_ray_intersect_any_triangle(
     triangle_vertices: Float[Array, "num_triangles 3 3"],
     active_triangles: Bool[Array, " num_triangles"] | None = None,
     *,
-    hit_threshold: Float[Array, ""] | float = 1.0,
+    hit_threshold: Float[Array, "*#batch"] | float = 1.0,
     epsilon: Float[Array, ""] | float | None = None,
 ) -> Bool[Array, " *batch"]:
     """Any-hit occlusion test: does each ray hit anything before ``t = thr``.
@@ -494,9 +494,11 @@ def pallas_ray_intersect_any_triangle(
     rays, tris, active, aabb, _, num_rays, rays_padded, _ = _prepare(
         ray_origins, ray_directions, triangle_vertices, active_triangles
     )
+    # hit_threshold may be per-ray ([*batch], e.g. negative to deactivate
+    # rays whose result does not matter) or a scalar.
     thresh = jnp.broadcast_to(
-        jnp.asarray(hit_threshold, dtype=jnp.float32), (num_rays,)
-    )
+        jnp.asarray(hit_threshold, dtype=jnp.float32), batch
+    ).reshape(-1)
     # Padded lanes get a negative threshold: their slab interval is empty,
     # so they never count as "pending" in the chunk-culling predicate
     # (zero-filled rays sit at the origin and would otherwise overlap

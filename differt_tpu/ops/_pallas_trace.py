@@ -216,15 +216,24 @@ def _trace_kernel(
                     jnp.sign(dot_prev) == jnp.sign(dot_next)
                 )
 
-            geom_scratch[slot, :] = inside & same_side & seg_valid & finite
-            # Padded RX lanes start "already blocked": their zero-filled
-            # receivers sit at the scene origin and would otherwise keep
-            # overlapping chunk AABBs, defeating the blockage culling.
+            geom = inside & same_side & seg_valid & finite
+            geom_scratch[slot, :] = geom
+            # Paths start "already blocked" when they are padded RX lanes
+            # (zero-filled receivers at the scene origin would keep
+            # overlapping chunk AABBs) or already geometrically invalid:
+            # the final mask is an AND of all checks, so blockage only
+            # matters for paths that survived the cheap checks — at city
+            # scale that is a tiny fraction (a reflection point must land
+            # inside one specific triangle), and skipping the rest is what
+            # keeps the blockage sweep from degenerating to brute force
+            # over wild image-method segments.
             tile_r = rx[0].shape[0]
             lane = rx_idx * tile_r + jax.lax.broadcasted_iota(
                 jnp.int32, (1, tile_r), 1
             )
-            mask_ref[0, slot, 0, :] = (lane >= num_rx).reshape(-1)
+            mask_ref[0, slot, 0, :] = (lane >= num_rx).reshape(
+                -1
+            ) | jnp.logical_not(geom)
             return None
 
         jax.lax.fori_loop(0, C_TILE, _geometry_slot, None)

@@ -447,23 +447,6 @@ def trace_path_candidates(
         same_side.min(axis=-1, initial=1.0) if smooth else same_side.all(axis=-1)
     )
 
-    # Check 3: no segment blocked by the scene.
-    if smooth:
-        blocked = ray_intersect_any_triangle(
-            ray_origins,
-            ray_directions,
-            mesh.triangle_vertices,
-            active_triangles=mesh.mask,
-            epsilon=epsilon,
-            hit_tol=hit_tol,
-            smoothing_factor=smoothing_factor,
-            batch_size=batch_size,
-        ).max(axis=-1, initial=0.0)
-    else:
-        blocked = mesh.ray_intersect_any_triangle(
-            ray_origins, ray_directions, hit_tol=hit_tol
-        ).any(axis=-1)
-
     # Check 4: no degenerate (too short) segment.
     seg_sq = jnp.sum(ray_directions * ray_directions, axis=-1)
     if smooth:
@@ -478,6 +461,32 @@ def trace_path_candidates(
     full_paths = jnp.where(
         is_finite[..., None, None], full_paths, jnp.zeros_like(full_paths)
     )
+
+    # Check 3 (last on purpose): no segment blocked by the scene. The final
+    # mask is an AND of every check, so only paths that survived the cheap
+    # geometric checks need the O(num_triangles) blockage sweep — the
+    # accelerated backend culls the rest via a per-ray threshold, which is
+    # what keeps city-scale tracing from brute-forcing the mesh against the
+    # wild segments of already-invalid image-method candidates.
+    if smooth:
+        blocked = ray_intersect_any_triangle(
+            ray_origins,
+            ray_directions,
+            mesh.triangle_vertices,
+            active_triangles=mesh.mask,
+            epsilon=epsilon,
+            hit_tol=hit_tol,
+            smoothing_factor=smoothing_factor,
+            batch_size=batch_size,
+        ).max(axis=-1, initial=0.0)
+    else:
+        alive = inside & valid_reflections & ~too_small & is_finite
+        blocked = mesh.ray_intersect_any_triangle(
+            ray_origins,
+            ray_directions,
+            hit_tol=hit_tol,
+            active_rays=alive[..., None],
+        ).any(axis=-1)
 
     if smooth:
         mask = jnp.stack(
