@@ -374,6 +374,7 @@ class Scene(eqx.Module):
         *,
         num_rays: int = int(1e4),
         order: int = 2,
+        min_order: int = 0,
         receiver_plane_z: Float[ArrayLike, ""] = 0.0,
         grid_bounds: Float[ArrayLike, "2 2"] | None = None,
         grid_size: tuple[int, int] = (100, 100),
@@ -389,6 +390,7 @@ class Scene(eqx.Module):
             self,
             num_rays=num_rays,
             order=order,
+            min_order=min_order,
             receiver_plane_z=receiver_plane_z,
             grid_bounds=grid_bounds,
             grid_size=grid_size,

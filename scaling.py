@@ -30,11 +30,12 @@ def run_config5(out: str | None) -> dict:
 
     16 TX x 1M RX (1024 x 1024 grid), order-3 reflections on the street
     canyon, with the candidate axis streamed as a decoded shard (the full
-    order-3 space is 16 250 candidates; a 1 024-candidate shard is one
+    order-3 space is 16 250 candidates; a 256-candidate shard is one
     slice of the same closed-form index decode every chip uses — the
     workload per (tx, rx, candidate) is identical). Also times ONE
     TX-placement + permittivity gradient step (sharded over all devices)
-    at a reduced RX grid.
+    at a reduced RX grid. Timed runs follow a warmup call so compilation
+    is excluded from the reported throughput.
     """
     import time
 
@@ -75,6 +76,7 @@ def run_config5(out: str | None) -> dict:
         )
         return float(jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0)))
 
+    run()  # Warmup: compile everything outside the timed run.
     start = time.perf_counter()
     run()
     elapsed = time.perf_counter() - start
@@ -85,6 +87,21 @@ def run_config5(out: str | None) -> dict:
     small = tk.tree_at(lambda s: s.transmitters, scene, tx)
     small = small.with_receivers_grid(128, 128, height=1.5)
     eta = jnp.array([5.24])
+
+    def grad_step():
+        return placement_training_step(
+            small,
+            2.4e9,
+            mesh,
+            order=1,
+            tx=tx,
+            eta_r=eta,
+            conductivity=jnp.array([0.1]),
+        )
+
+    out_warm = grad_step()  # Warmup: compile outside the timed step.
+    jax.block_until_ready(out_warm[0])
+    float(jnp.sum(out_warm[0]))
     start = time.perf_counter()
     new_tx, new_eta, loss = placement_training_step(
         small,
