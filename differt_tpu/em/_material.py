@@ -51,7 +51,7 @@ class Material(eqx.Module):
     """Alternative names (e.g., Sionna-style ``itu_*``)."""
 
     def __repr__(self) -> str:
-        extra = f", thickness={self.thickness!r}" if self.thickness is not None else ""
+        extra = "" if self.thickness is None else f", thickness={self.thickness!r}"
         extra += f", aliases={self.aliases!r}" if self.aliases else ""
         return f"Material(name={self.name!r}{extra})"
 
@@ -76,8 +76,8 @@ class Material(eqx.Module):
         """
         if len(itu_properties) > 1 and any(p[4] is None for p in itu_properties):
             msg = (
-                "Only one frequency range can be used if 'None' is passed, "
-                "as it will match any frequency"
+                "A catch-all range (frequency bounds of 'None') cannot be"
+                " combined with other ranges: it would shadow them."
             )
             raise ValueError(msg)
 

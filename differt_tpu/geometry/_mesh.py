@@ -37,96 +37,116 @@ def _warn_non_manifold_edges(count) -> None:
         )
 
 
-class _MeshVerticesUpdateRef:
-    """Pending differentiable vertex update for a triangle selection.
+class _VertexSelection:
+    """Out-of-place, differentiable vertex edits for a triangle selection.
 
-    Gathers the unique vertex indices of the selected triangles (shared
-    vertices are updated once) and applies ``jax.numpy.ndarray.at``-style
-    updates out of place. Reference parity: _mesh.py:415-609.
+    Obtained through ``mesh.at[selection]``; every update builds a new
+    :class:`Mesh`. Triangle selections resolve to *vertex* ids through a
+    sort-free first-occurrence dedup (a scatter-min race over slot
+    positions), so vertices shared between selected triangles receive
+    exactly one update — required for accumulating updates like ``add`` to
+    be well defined — without the sorted ``jnp.unique`` the reference
+    relies on (_mesh.py:447-451), which XLA lowers poorly on TPU.
     """
 
-    __slots__ = ("index", "mesh")
+    __slots__ = ("_mesh", "_selection")
 
-    def __init__(self, mesh: "Mesh", index) -> None:
-        if not isinstance(index, slice):
-            arr = jnp.asarray(index)
-            if arr.ndim > 1:
+    def __init__(self, mesh: "Mesh", selection) -> None:
+        if not isinstance(selection, slice):
+            sel = jnp.asarray(selection)
+            if sel.ndim > 1:
                 msg = (
-                    "Index must be at most one-dimensional, got array with "
-                    f"shape {arr.shape}."
+                    "Triangle selections must be scalars, slices, or 1-D"
+                    f" arrays; got a {sel.ndim}-D array of shape {sel.shape}."
                 )
                 raise ValueError(msg)
-        self.mesh = mesh
-        self.index = index
+        self._mesh = mesh
+        self._selection = selection
 
     def __repr__(self) -> str:
-        return f"_MeshVerticesUpdateRef({self.mesh!r}, {self.index!r})"
+        return f"{type(self._mesh).__name__}.at[{self._selection!r}]"
 
-    def _vertex_index(self, **kwargs: Any):
-        index = self.mesh.triangles.at[self.index, :].get(**kwargs).reshape(-1)
-        # Unique indices so shared vertices receive exactly one update;
-        # fill with num_vertices so dropped slots fall off the array.
-        return jnp.unique(
-            index, size=index.shape[0], fill_value=self.mesh.vertices.shape[0]
+    def _corner_ids(self, **kwargs: Any):
+        """Vertex ids of the selected triangles' corners (with duplicates)."""
+        return self._mesh.triangles.at[self._selection, :].get(**kwargs).reshape(-1)
+
+    def _unique_vertex_ids(self, **kwargs: Any):
+        ids = self._corner_ids(**kwargs)
+        num_vertices = self._mesh.vertices.shape[0]
+        slots = jnp.arange(ids.shape[0], dtype=jnp.int32)
+        guarded = jnp.where((ids >= 0) & (ids < num_vertices), ids, num_vertices)
+        # Every slot races for its vertex id; the smallest slot wins and
+        # keeps the id, losers are parked out of range (dropped on scatter).
+        winner = (
+            jnp.full(num_vertices + 1, ids.shape[0], dtype=jnp.int32)
+            .at[guarded]
+            .min(slots, mode="drop")
         )
+        return jnp.where(winner[guarded] == slots, guarded, num_vertices)
 
     def get(self, **kwargs: Any):
-        index = self.mesh.triangles.at[self.index, :].get(**kwargs).reshape(-1)
-        return self.mesh.vertices.at[index, :].get(wrap_negative_indices=False)
+        """Gather the selected triangles' corner coordinates (flattened)."""
+        ids = self._corner_ids(**kwargs)
+        return self._mesh.vertices.at[ids, :].get(wrap_negative_indices=False)
 
-    def _update(self, op: str, values, **kwargs: Any) -> "Mesh":
-        index = self._vertex_index(**kwargs)
-        updater = getattr(self.mesh.vertices.at[index, :], op)
-        return eqx.tree_at(
-            lambda m: m.vertices, self.mesh, updater(values, **_AT_KWARGS)
-        )
-
-    def set(self, values, **kwargs: Any) -> "Mesh":
-        return self._update("set", values, **kwargs)
-
-    def add(self, values, **kwargs: Any) -> "Mesh":
-        return self._update("add", values, **kwargs)
-
-    def sub(self, values, **kwargs: Any) -> "Mesh":
-        return self._update("subtract", values, **kwargs)
-
-    def mul(self, values, **kwargs: Any) -> "Mesh":
-        return self._update("multiply", values, **kwargs)
-
-    def div(self, values, **kwargs: Any) -> "Mesh":
-        return self._update("divide", values, **kwargs)
-
-    def pow(self, values, **kwargs: Any) -> "Mesh":
-        return self._update("power", values, **kwargs)
-
-    def min(self, values, **kwargs: Any) -> "Mesh":
-        return self._update("min", values, **kwargs)
-
-    def max(self, values, **kwargs: Any) -> "Mesh":
-        return self._update("max", values, **kwargs)
-
-    def apply(self, func, **kwargs: Any) -> "Mesh":
-        index = self._vertex_index(**kwargs)
+    def _edited(self, scatter_op: str, operand, **kwargs: Any) -> "Mesh":
+        ids = self._unique_vertex_ids(**kwargs)
+        rows = self._mesh.vertices.at[ids, :]
         return eqx.tree_at(
             lambda m: m.vertices,
-            self.mesh,
-            self.mesh.vertices.at[index, :].apply(func, **_AT_KWARGS),
+            self._mesh,
+            getattr(rows, scatter_op)(operand, **_AT_KWARGS),
         )
 
+    def apply(self, func, **kwargs: Any) -> "Mesh":
+        """Apply ``func`` to each selected vertex row (shared rows once)."""
+        return self._edited("apply", func, **kwargs)
 
-class _MeshVerticesUpdateHelper:
+
+def _install_vertex_update_ops() -> None:
+    """Attach the jnp-scatter-backed update methods to _VertexSelection."""
+
+    def make(name: str, scatter_op: str):
+        def update(self: _VertexSelection, values, **kwargs: Any) -> "Mesh":
+            return self._edited(scatter_op, values, **kwargs)
+
+        update.__name__ = name
+        update.__qualname__ = f"_VertexSelection.{name}"
+        update.__doc__ = (
+            f"Return a new mesh with ``{scatter_op}`` applied to the"
+            " selected triangles' vertices (shared vertices updated once)."
+        )
+        return update
+
+    for name, scatter_op in (
+        ("set", "set"),
+        ("add", "add"),
+        ("sub", "subtract"),
+        ("mul", "multiply"),
+        ("div", "divide"),
+        ("pow", "power"),
+        ("min", "min"),
+        ("max", "max"),
+    ):
+        setattr(_VertexSelection, name, make(name, scatter_op))
+
+
+_install_vertex_update_ops()
+
+
+class _VertexUpdates:
     """Indexable entry point for :attr:`Mesh.at`."""
 
-    __slots__ = ("mesh",)
+    __slots__ = ("_mesh",)
 
     def __init__(self, mesh: "Mesh") -> None:
-        self.mesh = mesh
+        self._mesh = mesh
 
-    def __getitem__(self, index) -> _MeshVerticesUpdateRef:
-        return _MeshVerticesUpdateRef(self.mesh, index)
+    def __getitem__(self, selection) -> _VertexSelection:
+        return _VertexSelection(self._mesh, selection)
 
     def __repr__(self) -> str:
-        return f"_MeshVerticesUpdateHelper({self.mesh!r})"
+        return f"{type(self._mesh).__name__}.at"
 
 
 class Mesh(eqx.Module):
@@ -153,17 +173,20 @@ class Mesh(eqx.Module):
 
     def __check_init__(self) -> None:
         if self.assume_quads and (self.triangles.shape[0] % 2) != 0:
-            msg = "You cannot set 'assume_quads' to 'True' if the number of triangles is not even!"
+            msg = (
+                "'assume_quads' needs an even triangle count (each quad is a"
+                f" triangle pair), but this mesh has {self.triangles.shape[0]}."
+            )
             raise ValueError(msg)
         if len(set(self.material_names)) != len(self.material_names):
-            msg = f"Material names must be unique, got {self.material_names!r}."
+            msg = f"Duplicate entries in material_names: {self.material_names!r}."
             raise ValueError(msg)
 
     # -- Sizes ------------------------------------------------------------
 
     @property
     def num_triangles(self) -> int:
-        """The number of triangles."""
+        """Triangle count (including masked-out ones)."""
         return self.triangles.shape[0]
 
     @property
@@ -175,7 +198,7 @@ class Mesh(eqx.Module):
     def num_quads(self) -> int:
         """The number of quadrilaterals (requires :attr:`assume_quads`)."""
         if not self.assume_quads:
-            msg = "Cannot access the number of quadrilaterals if 'assume_quads' is set to 'False'."
+            msg = "num_quads is only defined when 'assume_quads' is enabled."
             raise ValueError(msg)
         return self.triangles.shape[0] // 2
 
@@ -183,7 +206,7 @@ class Mesh(eqx.Module):
     def num_active_quads(self) -> int | Int[Array, ""]:
         """Number of active quads (traceable if :attr:`mask` is set)."""
         if not self.assume_quads:
-            msg = "Cannot access the number of active quadrilaterals if 'assume_quads' is set to 'False'."
+            msg = "num_active_quads is only defined when 'assume_quads' is enabled."
             raise ValueError(msg)
         return jnp.sum(self.mask[::2]) if self.mask is not None else self.num_quads
 
@@ -370,7 +393,10 @@ class Mesh(eqx.Module):
             msg = "You must specify either of both of 'vertex_b' and 'vertex_c', or none."
             raise ValueError(msg)
         if (vertex_b is None) == (normal is None):
-            msg = "You must specify one of ('vertex_b', 'vertex_c') or 'normal', not both."
+            msg = (
+                "A plane is defined either by two extra vertices or by a"
+                " normal; pass ('vertex_b', 'vertex_c') or 'normal', not both."
+            )
             raise ValueError(msg)
 
         vertex_a = jnp.asarray(vertex_a)
@@ -780,14 +806,14 @@ class Mesh(eqx.Module):
         return self.append(ground)
 
     @property
-    def at(self) -> _MeshVerticesUpdateHelper:
+    def at(self) -> _VertexUpdates:
         """Differentiable per-triangle vertex updates.
 
         ``mesh.at[triangle_index].add(delta)`` etc., with shared vertices
         deduplicated so each vertex is updated exactly once.
-        Reference parity: _mesh.py:1284-1382.
+        Feature parity: reference ``Mesh.at`` (_mesh.py:1284-1382).
         """
-        return _MeshVerticesUpdateHelper(self)
+        return _VertexUpdates(self)
 
     # -- Diffraction edges -------------------------------------------------
 

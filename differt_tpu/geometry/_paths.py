@@ -1,36 +1,63 @@
 """Path containers: :class:`TracedPaths` and :class:`LaunchedPaths`.
 
-Reference parity: differt/src/differt/geometry/_paths.py. Paths are stored
-with full, fixed batch shapes plus a validity mask (boolean or float
-confidence), the JIT- and sharding-stable representation: invalid paths are
-masked, never dropped, so every chip holds identical shapes.
+Feature parity target: ``differt.geometry.TracedPaths`` / ``LaunchedPaths``
+(reference differt/src/differt/geometry/_paths.py). Paths are stored with
+full, fixed batch shapes plus a validity mask (boolean or float confidence),
+the JIT- and sharding-stable representation: invalid paths are masked, never
+dropped, so every chip holds identical shapes.
+
+Implementation notes (TPU-first, not a port):
+
+- Batch-shape surgery (``reshape`` / ``squeeze`` / ``masked``) is driven by a
+  single per-class table of *trailing* (non-batch) ranks and one generic
+  :func:`_remap_batch` helper, so every field stays in lock-step by
+  construction.
+- Row-grouping (:func:`merge_cell_ids`, :meth:`TracedPaths.group_by_objects`,
+  :meth:`TracedPaths.multipath_cells`, duplicate masking) is built on
+  :func:`_group_index`, a tiled first-occurrence search: each tile of query
+  rows is compared against the whole row set with one dense vectorized
+  equality + ``argmax``. On TPU this keeps the VPU busy with wide lane-wise
+  compares instead of a sequential scan, while ``lax.map`` over tiles bounds
+  the working set.
 """
 
 from collections.abc import Callable, Iterator, Sequence
-from itertools import zip_longest
 from typing import Any
 
-from differt_tpu import treekit as eqx
 import jax
 import jax.numpy as jnp
 from jaxtyping import Array, ArrayLike, Bool, Float, Int, Num, Shaped
 
+from differt_tpu import treekit as eqx
 
-@jax.jit
-def _cell_ids(array: Shaped[Array, "batch n"]) -> Int[Array, " batch"]:
-    """Assign each row the index of its last duplicate (scan-based group ids)."""
+# Queries per tile in _group_index: bounds the [tile, num_rows, n] equality
+# buffer while keeping each compare wide enough to fill TPU vector lanes.
+_GROUP_TILE = 128
 
-    def body(indices: Array, row_and_index: tuple[Array, Array]) -> tuple[Array, None]:
-        row, index = row_and_index
-        indices = jnp.where((array == row).all(axis=-1), index, indices)
-        return indices, None
 
-    return jax.lax.scan(
-        body,
-        jnp.empty(array.shape[0], dtype=jnp.int32),
-        (array, jnp.arange(array.shape[0])),
-        reverse=True,
-    )[0]
+def _group_index(rows: Shaped[Array, "num_rows n"]) -> Int[Array, " num_rows"]:
+    """Give each row the index of the first row equal to it.
+
+    Rows that are equal share an output value (the position of their first
+    occurrence), so the result doubles as a group id. Runs in tiles of
+    :data:`_GROUP_TILE` query rows so memory stays bounded at
+    ``O(tile * num_rows)`` regardless of batch size.
+    """
+    num_rows = rows.shape[0]
+    if num_rows == 0:
+        return jnp.zeros((0,), dtype=jnp.int32)
+    tile = min(num_rows, _GROUP_TILE)
+    num_tiles = -(-num_rows // tile)
+    padded = num_tiles * tile
+    queries = jnp.pad(rows, ((0, padded - num_rows), (0, 0))).reshape(
+        num_tiles, tile, rows.shape[1]
+    )
+
+    def first_match(tile_rows: Shaped[Array, "tile n"]) -> Int[Array, " tile"]:
+        hits = (tile_rows[:, None, :] == rows[None, :, :]).all(axis=-1)
+        return jnp.argmax(hits, axis=-1).astype(jnp.int32)
+
+    return jax.lax.map(first_match, queries).reshape(padded)[:num_rows]
 
 
 @jax.jit
@@ -38,22 +65,79 @@ def merge_cell_ids(
     cell_ids_a: Int[ArrayLike, " *batch"],
     cell_ids_b: Int[ArrayLike, " *batch"],
 ) -> Int[Array, " *batch"]:
-    """Merge two cell-index arrays: equal output ids iff both input ids match.
+    """Combine two cell-id arrays into one: ids match iff both inputs match.
 
-    Reference parity: _paths.py:40-74.
+    The output values are fresh group ids with no relation to either input's
+    numbering. Inputs are broadcast against each other.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.geometry import merge_cell_ids
+        >>> merge_cell_ids(
+        ...     jnp.array([0, 0, 1, 1]), jnp.array([0, 1, 0, 0])
+        ... ).tolist()
+        [0, 1, 2, 2]
     """
-    cell_ids_a = jnp.asarray(cell_ids_a)
-    cell_ids_b = jnp.asarray(cell_ids_b)
-    batch = cell_ids_a.shape
-    return _cell_ids(
-        jnp.stack((cell_ids_a, cell_ids_b), axis=-1).reshape(-1, 2)
-    ).reshape(batch)
+    pairs = jnp.stack(
+        jnp.broadcast_arrays(jnp.asarray(cell_ids_a), jnp.asarray(cell_ids_b)),
+        axis=-1,
+    )
+    return _group_index(pairs.reshape(-1, 2)).reshape(pairs.shape[:-1])
+
+
+def _remap_batch(paths, fn: Callable[[Array, int], Array]):
+    """Apply ``fn(array, trailing_ndim)`` to every batch-shaped field.
+
+    ``trailing_ndim`` counts the fixed per-path dimensions after the batch
+    (e.g. 2 for ``vertices``' ``[path_length, 3]`` tail), letting ``fn``
+    locate the batch part of each array.
+    """
+    names = tuple(name for name, _ in paths._BATCH_AXES)
+    updated = tuple(
+        fn(getattr(paths, name), trailing) for name, trailing in paths._BATCH_AXES
+    )
+    return eqx.tree_at(
+        lambda p: tuple(getattr(p, name) for name in names), paths, updated
+    )
+
+
+def _squeeze_axes(
+    axis: int | Sequence[int] | None, batch_shape: tuple[int, ...]
+) -> tuple[int, ...]:
+    """Validate and normalize squeeze axes relative to the batch shape."""
+    ndim = len(batch_shape)
+    if axis is None:
+        if ndim == 0:
+            msg = "A 0-dimensional batch has no axes left to squeeze."
+            raise ValueError(msg)
+        # Squeeze only *batch* axes of extent one; trailing per-path
+        # dimensions are never touched (unlike a bare jnp.squeeze()).
+        return tuple(i for i, extent in enumerate(batch_shape) if extent == 1)
+    requested = (axis,) if isinstance(axis, int) else tuple(axis)
+    resolved = []
+    for a in requested:
+        shifted = a + ndim if a < 0 else a
+        if shifted < 0 or shifted >= ndim:
+            msg = f"Squeeze axis {a} is out-of-bounds for a {ndim}-dimensional batch."
+            raise ValueError(msg)
+        resolved.append(shifted)
+    return tuple(resolved)
+
+
+def _confident(
+    mask: Bool[Array, " *batch"] | Float[Array, " *batch"],
+    threshold: Float[ArrayLike, ""],
+) -> Bool[Array, " *batch"]:
+    """Resolve a boolean-or-confidence mask into a boolean one."""
+    if jnp.issubdtype(mask.dtype, jnp.bool_):
+        return mask
+    return mask >= threshold
 
 
 class TracedPaths(eqx.Module):
     """Paths produced by exact tracing (image method / Fermat solvers).
 
-    Reference parity: _paths.py:77-492.
+    Feature parity: reference ``TracedPaths`` (_paths.py:77-492).
     """
 
     vertices: Float[Array, "*batch path_length 3"]
@@ -66,6 +150,14 @@ class TracedPaths(eqx.Module):
     """Per-bounce :class:`InteractionType<differt_tpu.em.InteractionType>` values (-1 = padded)."""
     confidence_threshold: Float[ArrayLike, ""] = 0.5
     """Threshold above which a float confidence counts as valid."""
+
+    # (field, trailing non-batch rank) — drives _remap_batch.
+    _BATCH_AXES = (
+        ("vertices", 2),
+        ("objects", 1),
+        ("mask", 0),
+        ("interaction_types", 1),
+    )
 
     @property
     def shape(self) -> tuple[int, ...]:
@@ -82,127 +174,114 @@ class TracedPaths(eqx.Module):
         """Number of interactions per path."""
         return self.path_length - 2
 
-    def _bool_mask(self) -> Bool[Array, " *batch"]:
-        if self.mask.dtype == jnp.bool_:
-            return self.mask
-        return self.mask >= self.confidence_threshold
+    @property
+    def valid_mask(self) -> Bool[Array, " *batch"]:
+        """Boolean validity mask (confidence masks resolved via the threshold)."""
+        return _confident(self.mask, self.confidence_threshold)
 
     @property
     def num_valid_paths(self) -> Int[Array, ""]:
         """Traceable count of valid paths."""
-        return self._bool_mask().sum()
+        return jnp.count_nonzero(self.valid_mask)
 
     def reshape(self, *batch: int) -> "TracedPaths":
-        """Reshape batch dimensions."""
-        vertices = self.vertices.reshape(*batch, self.path_length, 3)
-        resolved = vertices.shape[:-2]
-        return eqx.tree_at(
-            lambda p: (p.vertices, p.objects, p.mask, p.interaction_types),
-            self,
-            (
-                vertices,
-                self.objects.reshape(*resolved, self.path_length),
-                self.mask.reshape(*resolved),
-                self.interaction_types.reshape(*resolved, self.path_length - 2),
-            ),
+        """Reshape batch dimensions (``-1`` wildcards allowed)."""
+        probe = self.vertices.reshape(*batch, self.path_length, 3)
+        target = probe.shape[:-2]
+        return _remap_batch(
+            self, lambda arr, nd: arr.reshape(*target, *arr.shape[arr.ndim - nd :])
         )
 
     def squeeze(self, axis: int | Sequence[int] | None = None) -> "TracedPaths":
-        """Squeeze batch dimensions."""
-        ndim = self.vertices.ndim - 2
-        if axis is not None and ndim == 0:
-            msg = "Cannot squeeze a 0-dimensional batch!"
-            raise ValueError(msg)
-        if isinstance(axis, int):
-            axis = (axis,)
-        if isinstance(axis, Sequence):
-            axis = tuple(a + ndim if a < 0 else a for a in axis)
-            if any(a >= ndim or a < 0 for a in axis):
-                msg = "One of the provided axes is out-of-bounds!"
-                raise ValueError(msg)
-        return eqx.tree_at(
-            lambda p: (p.vertices, p.objects, p.mask, p.interaction_types),
-            self,
-            (
-                self.vertices.squeeze(axis),
-                self.objects.squeeze(axis),
-                self.mask.squeeze(axis),
-                self.interaction_types.squeeze(axis),
-            ),
-        )
+        """Drop unit-extent batch dimensions.
+
+        Raises:
+            ValueError: If an axis is out-of-bounds for the batch shape, or
+                if the batch is already 0-dimensional.
+        """
+        axes = _squeeze_axes(axis, self.shape)
+        return _remap_batch(self, lambda arr, nd: jnp.squeeze(arr, axis=axes))
 
     @eqx.filter_jit
     def mask_duplicate_objects(self, axis: int = -1) -> "TracedPaths":
-        """Mask paths whose object sequence duplicates an earlier one (JIT-safe).
+        """Mask paths whose object sequence repeats an earlier one along ``axis``.
 
-        Reference parity: _paths.py:195-252.
+        Only the first occurrence of each object sequence stays valid; the
+        batch shape is unchanged, so the result is JIT- and sharding-stable.
+        Useful when an upstream candidate generator (e.g. a sampling model)
+        may emit the same candidate twice.
+
+        Raises:
+            ValueError: If ``axis`` is out-of-bounds for the batch shape.
         """
         ndim = self.objects.ndim - 1
-        batch = self.objects.shape[:-1]
-        if not -ndim <= axis < ndim:
-            msg = f"The provided axis {axis} is out-of-bounds for batch of dimensions {ndim}!"
+        resolved = axis + ndim if axis < 0 else axis
+        if resolved < 0 or resolved >= ndim:
+            msg = f"Axis {axis} is out-of-bounds for a {ndim}-dimensional batch."
             raise ValueError(msg)
 
-        size = batch[axis]
-        objects = jnp.moveaxis(self.objects, axis if axis >= 0 else axis - 1, -2)
-        indices = jnp.arange(size, dtype=objects.dtype)
+        # Bring the candidate axis next to the per-path axis, flatten every
+        # other batch dimension, and mark first occurrences per group.
+        sequences = jnp.moveaxis(self.objects, resolved, -2)
+        *lead, axis_len, path_len = sequences.shape
+        positions = jnp.arange(axis_len, dtype=jnp.int32)
 
-        def keep_first(rows: Int[Array, "axis_length path_length"]) -> Array:
-            _, index = jnp.unique(rows, axis=0, size=size, return_index=True)
-            return jnp.isin(indices, index)
+        def firsts(rows: Int[Array, "axis_len path_len"]) -> Bool[Array, " axis_len"]:
+            return _group_index(rows) == positions
 
-        f = keep_first
-        for _ in range(max(ndim - 1, 0)):
-            f = jax.vmap(f)
+        keep = jax.vmap(firsts)(sequences.reshape(-1, axis_len, path_len))
+        keep = jnp.moveaxis(keep.reshape(*lead, axis_len), -1, resolved)
+        return eqx.tree_at(lambda p: p.mask, self, self.mask * keep)
 
-        non_duplicates = jnp.moveaxis(f(objects), -1, axis)
-        return eqx.tree_at(lambda p: p.mask, self, self.mask * non_duplicates)
+    def masked(self) -> "TracedPaths":
+        """Flatten the batch and keep valid paths only (not jittable)."""
+        flat = self.reshape(-1)
+        picks = jnp.where(flat.valid_mask)[0]
+        gathered = _remap_batch(flat, lambda arr, nd: jnp.take(arr, picks, axis=0))
+        return eqx.tree_at(
+            lambda p: p.mask, gathered, jnp.ones(picks.shape, dtype=jnp.bool_)
+        )
 
     @property
     def masked_vertices(self) -> Float[Array, "num_valid_paths path_length 3"]:
         """Flattened vertices of valid paths only (not jittable)."""
-        vertices = self.vertices.reshape(-1, self.path_length, 3)
-        return vertices[self._bool_mask().reshape(-1), ...]
+        return self.masked().vertices
 
     @property
     def masked_objects(self) -> Int[Array, "num_valid_paths path_length"]:
         """Flattened objects of valid paths only (not jittable)."""
-        objects = self.objects.reshape(-1, self.path_length)
-        return objects[self._bool_mask().reshape(-1), ...]
-
-    def masked(self) -> "TracedPaths":
-        """Flatten batch dimensions and keep only valid paths (not jittable)."""
-        paths = self.reshape(-1)
-        mask = paths._bool_mask()
-        return eqx.tree_at(
-            lambda p: (p.vertices, p.objects, p.mask, p.interaction_types),
-            paths,
-            (
-                paths.vertices[mask, ...],
-                paths.objects[mask, ...],
-                mask[mask],
-                paths.interaction_types[mask, ...],
-            ),
-        )
+        return self.masked().objects
 
     @eqx.filter_jit
     def multipath_cells(self, axis: int = -1) -> Int[Array, " *partial_batch"]:
-        """Group batch entries sharing an identical validity pattern.
+        """Group batch entries sharing an identical validity pattern along ``axis``.
 
-        Reference parity: _paths.py:330-375.
+        Entries with the same set of valid candidates receive the same cell
+        id — the multipath-cell structure behind multipath lifetime maps.
         """
-        mask = jnp.moveaxis(self._bool_mask(), axis, -1)
-        *partial_batch, last = mask.shape
-        return _cell_ids(mask.reshape(-1, last)).reshape(partial_batch)
+        patterns = jnp.moveaxis(self.valid_mask, axis, -1)
+        *partial_batch, width = patterns.shape
+        return _group_index(patterns.reshape(-1, width)).reshape(partial_batch)
 
     @jax.jit
     def group_by_objects(self) -> Int[Array, " *batch"]:
         """Group paths undergoing the same object interactions.
 
-        Reference parity: _paths.py:377-421.
+        Examples:
+            >>> import jax.numpy as jnp
+            >>> from differt_tpu.geometry import TracedPaths
+            >>> objects = jnp.array([[0, 1, 0], [0, 2, 0], [0, 1, 0]])
+            >>> paths = TracedPaths(
+            ...     vertices=jnp.zeros((3, 3, 3)),
+            ...     objects=objects,
+            ...     mask=jnp.ones(3, dtype=bool),
+            ...     interaction_types=jnp.zeros((3, 1), dtype=jnp.int32),
+            ... )
+            >>> paths.group_by_objects().tolist()
+            [0, 1, 0]
         """
         *batch, path_length = self.objects.shape
-        return _cell_ids(self.objects.reshape(-1, path_length)).reshape(batch)
+        return _group_index(self.objects.reshape(-1, path_length)).reshape(batch)
 
     def reduce(
         self,
@@ -213,24 +292,26 @@ class TracedPaths(eqx.Module):
 
         With a float confidence mask, contributions are weighted by the
         confidence, keeping the result differentiable through the mask.
-        Reference parity: _paths.py:461-479.
         """
-        if self.mask.dtype != jnp.bool_:
-            return jnp.sum(fun(self.vertices) * self.mask, axis=axis)
-        return jnp.sum(fun(self.vertices), axis=axis, where=self.mask)
+        contributions = fun(self.vertices)
+        if jnp.issubdtype(self.mask.dtype, jnp.bool_):
+            # jnp.where (not multiply-by-0) so invalid NaN/inf paths drop out.
+            contributions = jnp.where(self.mask, contributions, 0)
+        else:
+            contributions = contributions * self.mask
+        return jnp.sum(contributions, axis=axis)
 
     def __iter__(self) -> Iterator["TracedPaths"]:
         """Iterate over individually-masked valid paths."""
-        masked = self.masked()
-        for vertices, objects, interaction_types in zip_longest(
-            masked.vertices, masked.objects, masked.interaction_types
-        ):
+        flat = self.masked()
+        scalar_true = jnp.ones((), dtype=jnp.bool_)
+        for i in range(flat.vertices.shape[0]):
             yield TracedPaths(
-                vertices=vertices,
-                objects=objects,
-                mask=jnp.ones((), dtype=jnp.bool_),
-                interaction_types=interaction_types,
-                confidence_threshold=masked.confidence_threshold,
+                vertices=flat.vertices[i],
+                objects=flat.objects[i],
+                mask=scalar_true,
+                interaction_types=flat.interaction_types[i],
+                confidence_threshold=flat.confidence_threshold,
             )
 
     def plot(self, **kwargs: Any):
@@ -247,7 +328,7 @@ class Paths(TracedPaths):
         import warnings
 
         warnings.warn(
-            "Paths is deprecated, use TracedPaths instead.",
+            "Paths was renamed to TracedPaths; this alias will be removed.",
             DeprecationWarning,
             stacklevel=2,
         )
@@ -257,7 +338,7 @@ class Paths(TracedPaths):
 class LaunchedPaths(eqx.Module):
     """Paths produced by ray launching (SBR), with per-order masks.
 
-    Reference parity: _paths.py:513-714.
+    Feature parity: reference ``LaunchedPaths`` (_paths.py:513-714).
     """
 
     vertices: Float[Array, "*batch path_length 3"]
@@ -270,6 +351,13 @@ class LaunchedPaths(eqx.Module):
     """Per-bounce interaction types."""
     confidence_threshold: Float[ArrayLike, ""] = 0.5
     """Confidence threshold (kept for symmetry with :class:`TracedPaths`)."""
+
+    _BATCH_AXES = (
+        ("vertices", 2),
+        ("objects", 1),
+        ("masks", 1),
+        ("interaction_types", 1),
+    )
 
     @property
     def shape(self) -> tuple[int, ...]:
@@ -292,65 +380,44 @@ class LaunchedPaths(eqx.Module):
         return self.masks[..., -1]
 
     def get_paths(self, order: int) -> TracedPaths:
-        """Extract the :class:`TracedPaths` of a given order."""
-        if order < 0 or order > self.order:
+        """Extract the :class:`TracedPaths` of a given order.
+
+        Raises:
+            ValueError: If ``order`` exceeds the launched maximum.
+        """
+        if not 0 <= order <= self.order:
             msg = (
-                f"Paths order must be strictly between 0 and {self.order} (incl.), "
-                f"but you provided {order}."
+                f"The requested order must be between 0 and {self.order} "
+                f"(inclusive), got {order}."
             )
             raise ValueError(msg)
-        vertices = jnp.concatenate(
-            (self.vertices[..., : order + 1, :], self.vertices[..., -1:, :]), axis=-2
-        )
-        objects = jnp.concatenate(
-            (self.objects[..., : order + 1], self.objects[..., -1:]), axis=-1
-        )
+        # An order-k path uses the launch point, the first k interactions,
+        # and the capture point stored in the final slot.
+        head = slice(None, order + 1)
         return TracedPaths(
-            vertices=vertices,
-            objects=objects,
+            vertices=jnp.concatenate(
+                (self.vertices[..., head, :], self.vertices[..., -1:, :]), axis=-2
+            ),
+            objects=jnp.concatenate(
+                (self.objects[..., head], self.objects[..., -1:]), axis=-1
+            ),
             mask=self.masks[..., order],
             interaction_types=self.interaction_types[..., :order],
             confidence_threshold=self.confidence_threshold,
         )
 
     def reshape(self, *batch: int) -> "LaunchedPaths":
-        """Reshape batch dimensions."""
-        vertices = self.vertices.reshape(*batch, self.path_length, 3)
-        resolved = vertices.shape[:-2]
-        return eqx.tree_at(
-            lambda p: (p.vertices, p.objects, p.masks, p.interaction_types),
-            self,
-            (
-                vertices,
-                self.objects.reshape(*resolved, self.path_length),
-                self.masks.reshape(*resolved, self.masks.shape[-1]),
-                self.interaction_types.reshape(*resolved, self.path_length - 2),
-            ),
+        """Reshape batch dimensions (``-1`` wildcards allowed)."""
+        probe = self.vertices.reshape(*batch, self.path_length, 3)
+        target = probe.shape[:-2]
+        return _remap_batch(
+            self, lambda arr, nd: arr.reshape(*target, *arr.shape[arr.ndim - nd :])
         )
 
     def squeeze(self, axis: int | Sequence[int] | None = None) -> "LaunchedPaths":
-        """Squeeze batch dimensions."""
-        ndim = self.vertices.ndim - 2
-        if axis is not None and ndim == 0:
-            msg = "Cannot squeeze a 0-dimensional batch!"
-            raise ValueError(msg)
-        if isinstance(axis, int):
-            axis = (axis,)
-        if isinstance(axis, Sequence):
-            axis = tuple(a + ndim if a < 0 else a for a in axis)
-            if any(a >= ndim or a < 0 for a in axis):
-                msg = "One of the provided axes is out-of-bounds!"
-                raise ValueError(msg)
-        return eqx.tree_at(
-            lambda p: (p.vertices, p.objects, p.masks, p.interaction_types),
-            self,
-            (
-                self.vertices.squeeze(axis),
-                self.objects.squeeze(axis),
-                self.masks.squeeze(axis),
-                self.interaction_types.squeeze(axis),
-            ),
-        )
+        """Drop unit-extent batch dimensions."""
+        axes = _squeeze_axes(axis, self.shape)
+        return _remap_batch(self, lambda arr, nd: jnp.squeeze(arr, axis=axes))
 
     def masked(self) -> TracedPaths:
         """Flattened highest-order valid paths."""
@@ -359,12 +426,12 @@ class LaunchedPaths(eqx.Module):
     @property
     def masked_vertices(self) -> Float[Array, "num_valid_paths path_length 3"]:
         """Flattened vertices of valid highest-order paths."""
-        return self.get_paths(self.order).masked_vertices
+        return self.masked().vertices
 
     @property
     def masked_objects(self) -> Int[Array, "num_valid_paths path_length"]:
         """Flattened objects of valid highest-order paths."""
-        return self.get_paths(self.order).masked_objects
+        return self.masked().objects
 
     def __iter__(self) -> Iterator[TracedPaths]:
         """Iterate over highest-order masked paths."""
@@ -387,7 +454,7 @@ class SBRPaths(LaunchedPaths):
         import warnings
 
         warnings.warn(
-            "SBRPaths is deprecated, use LaunchedPaths instead.",
+            "SBRPaths was renamed to LaunchedPaths; this alias will be removed.",
             DeprecationWarning,
             stacklevel=2,
         )

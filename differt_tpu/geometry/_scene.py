@@ -26,6 +26,28 @@ if TYPE_CHECKING:
     from ._candidates import SizedIterator
 
 
+def _resolve_solver(solver, shortcuts: dict, options: dict):
+    """Materialize a solver from a registered shortcut name or an instance.
+
+    Shortcut names instantiate the registered solver class with ``options``;
+    explicit instances must come fully configured (``options`` then conflict).
+    """
+    if isinstance(solver, str):
+        cls = shortcuts.get(solver)
+        if cls is None:
+            known = ", ".join(sorted(shortcuts))
+            msg = f"No solver is registered under {solver!r}; known shortcuts: {known}."
+            raise ValueError(msg)
+        return cls(**options)
+    if options:
+        msg = (
+            f"Solver options {sorted(options)} conflict with an explicit solver"
+            f" instance; configure the {type(solver).__name__} directly instead."
+        )
+        raise ValueError(msg)
+    return solver
+
+
 class Scene(eqx.Module):
     """A scene made of a triangle mesh, transmitters, and receivers."""
 
@@ -132,6 +154,12 @@ class Scene(eqx.Module):
 
         return cls(mesh=load_scene_xml(file))
 
+    def _batched(self, paths, trailing: int):
+        """Reshape flat solver output to ``[*tx_batch, *rx_batch, trailing]``."""
+        return paths.reshape(
+            *self.transmitters.shape[:-1], *self.receivers.shape[:-1], trailing
+        )
+
     def trace_paths(
         self,
         order: "int | Sequence[int] | None" = None,
@@ -142,8 +170,8 @@ class Scene(eqx.Module):
     ) -> "TracedPaths | SizedIterator[TracedPaths] | Iterator[TracedPaths]":
         """Trace exact paths between all TX/RX pairs.
 
-        Reference parity: _scene.py:650-764 — including solver dispatch by
-        string shortcut, chunked iteration, and user-supplied
+        Feature parity: reference ``Scene.trace_paths`` (_scene.py:650-764) —
+        solver shortcuts, chunked iteration, and a user-supplied
         ``path_candidates`` bypass. Fully TPU-native (no Warp).
 
         A sequence of orders yields one :class:`TracedPaths` per order (the
@@ -156,16 +184,20 @@ class Scene(eqx.Module):
         )
         from ._candidates import SizedIterator
 
-        if (order is None) == (path_candidates is None):
-            msg = "You must specify one of 'order' or `path_candidates`, not both."
+        if order is None and path_candidates is None:
+            msg = "trace_paths needs a path 'order' or explicit 'path_candidates'."
+            raise ValueError(msg)
+        if order is not None and path_candidates is not None:
+            msg = "'order' and 'path_candidates' are mutually exclusive; pass only one."
             raise ValueError(msg)
 
         if order is not None and not isinstance(order, int):
+            # A sequence of orders fans out into one traced batch per order.
             from ._paths import TracedPaths
 
             orders = list(order)
 
-            def gen() -> Iterator:
+            def per_order() -> Iterator:
                 for o in orders:
                     result = self.trace_paths(o, solver=solver, **solver_kwargs)
                     if isinstance(result, TracedPaths):
@@ -173,74 +205,75 @@ class Scene(eqx.Module):
                     else:
                         yield from result
 
-            if not solver_kwargs.get("chunk_size") and not getattr(
+            chunked = solver_kwargs.get("chunk_size") or getattr(
                 solver, "chunk_size", None
-            ):
-                return SizedIterator(gen(), size=len(orders))
-            return gen()
+            )
+            if chunked:
+                return per_order()
+            return SizedIterator(per_order(), size=len(orders))
 
-        if isinstance(solver, str):
-            if solver == "exhaustive":
-                solver = ExhaustivePathTracer(**solver_kwargs)
-            elif solver == "hybrid":
-                solver = HybridPathTracer(**solver_kwargs)
-            else:
-                msg = f"Unknown solver: {solver}"
+        tracer = _resolve_solver(
+            solver,
+            {"exhaustive": ExhaustivePathTracer, "hybrid": HybridPathTracer},
+            solver_kwargs,
+        )
+
+        if isinstance(tracer, HybridPathTracer):
+            if order is None:
+                msg = (
+                    "The hybrid tracer prunes candidates by TX/RX visibility"
+                    " and therefore needs an explicit 'order'."
+                )
                 raise ValueError(msg)
-        elif solver_kwargs:
-            msg = "solver_kwargs cannot be used when a solver instance is provided."
-            raise ValueError(msg)
-
-        if (
-            isinstance(solver, HybridPathTracer)
-            and getattr(solver, "smoothing_factor", None) is not None
-        ):
-            warnings.warn(
-                "Argument 'smoothing' is currently ignored when using HybridPathTracer.",
-                UserWarning,
-                stacklevel=2,
-            )
-        if isinstance(solver, HybridPathTracer) and order is None:
-            msg = "Argument 'order' is required when using HybridPathTracer."
-            raise ValueError(msg)
-        if path_candidates is not None and getattr(solver, "chunk_size", None):
-            warnings.warn(
-                "Argument 'chunk_size' is ignored when 'path_candidates' is provided.",
-                UserWarning,
-                stacklevel=2,
-            )
-            solver = dataclasses.replace(solver, chunk_size=None)
-
-        tx_batch = self.transmitters.shape[:-1]
-        rx_batch = self.receivers.shape[:-1]
-
-        if path_candidates is None:
-            chunk_size = getattr(solver, "chunk_size", None)
-            if chunk_size is not None:
-                chunks_iter = solver.generate_path_candidates_chunks_iter(
-                    self, order, chunk_size=chunk_size
+            if getattr(tracer, "smoothing_factor", None) is not None:
+                warnings.warn(
+                    "The hybrid tracer's visibility pruning is hard (non-"
+                    "differentiable); its 'smoothing_factor' has no effect.",
+                    UserWarning,
+                    stacklevel=2,
                 )
-                it: Iterator = (
-                    solver.trace_path_candidates(self, cands, types).reshape(
-                        *tx_batch, *rx_batch, cands.shape[0]
-                    )
-                    for cands, types in chunks_iter
+
+        if path_candidates is not None:
+            if getattr(tracer, "chunk_size", None):
+                warnings.warn(
+                    "Explicit 'path_candidates' bypass candidate generation,"
+                    " so 'chunk_size' has no effect.",
+                    UserWarning,
+                    stacklevel=2,
                 )
-                if hasattr(chunks_iter, "__len__"):
-                    return SizedIterator(it, size=chunks_iter.__len__)
-                return it
-            candidates, interaction_types = solver.generate_path_candidates(
-                self, order
-            )
-        else:
+                tracer = dataclasses.replace(tracer, chunk_size=None)
             candidates = jnp.asarray(path_candidates)
             if self.mesh.assume_quads:
-                candidates -= candidates % 2
-            interaction_types = jnp.zeros_like(candidates, dtype=jnp.int32)
+                # Quad candidates address the even (first) triangle of a pair.
+                candidates = candidates & ~1
+            types = jnp.zeros(candidates.shape, dtype=jnp.int32)
+            return self._batched(
+                tracer.trace_path_candidates(self, candidates, types),
+                candidates.shape[0],
+            )
 
-        return solver.trace_path_candidates(
-            self, candidates, interaction_types
-        ).reshape(*tx_batch, *rx_batch, candidates.shape[0])
+        chunk_size = getattr(tracer, "chunk_size", None)
+        if chunk_size is not None:
+            chunks = tracer.generate_path_candidates_chunks_iter(
+                self, order, chunk_size=chunk_size
+            )
+            traced: Iterator = (
+                self._batched(
+                    tracer.trace_path_candidates(self, cands, types),
+                    cands.shape[0],
+                )
+                for cands, types in chunks
+            )
+            num_chunks = getattr(chunks, "__len__", None)
+            if num_chunks is None:
+                return traced
+            return SizedIterator(traced, size=num_chunks)
+
+        candidates, types = tracer.generate_path_candidates(self, order)
+        return self._batched(
+            tracer.trace_path_candidates(self, candidates, types),
+            candidates.shape[0],
+        )
 
     def launch_paths(
         self,
@@ -251,28 +284,15 @@ class Scene(eqx.Module):
     ) -> "LaunchedPaths":
         """Launch SBR paths and capture those passing near receivers.
 
-        Reference parity: _scene.py:783-835.
+        Feature parity: reference ``Scene.launch_paths`` (_scene.py:783-835).
         """
         from ..rt._solvers import SBRPathLauncher
 
         if order is None:
-            msg = "Argument 'order' is required."
+            msg = "launch_paths needs a maximum bounce 'order'."
             raise ValueError(msg)
-        if isinstance(solver, str):
-            if solver == "sbr":
-                solver = SBRPathLauncher(**solver_kwargs)
-            else:
-                msg = f"Unknown solver: {solver}"
-                raise ValueError(msg)
-        elif solver_kwargs:
-            msg = "solver_kwargs cannot be used when a solver instance is provided."
-            raise ValueError(msg)
-
-        tx_batch = self.transmitters.shape[:-1]
-        rx_batch = self.receivers.shape[:-1]
-        return solver.launch_paths(self, order=order).reshape(
-            *tx_batch, *rx_batch, -1
-        )
+        launcher = _resolve_solver(solver, {"sbr": SBRPathLauncher}, solver_kwargs)
+        return self._batched(launcher.launch_paths(self, order=order), -1)
 
     @classmethod
     def from_mitsuba(cls, mi_scene) -> "Scene":
@@ -414,7 +434,7 @@ class TriangleScene(Scene):
 
     def __init__(self, *args: Any, **kwargs: Any) -> None:
         warnings.warn(
-            "TriangleScene is deprecated, use Scene instead.",
+            "TriangleScene was renamed to Scene; this alias will be removed.",
             DeprecationWarning,
             stacklevel=2,
         )

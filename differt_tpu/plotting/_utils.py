@@ -115,7 +115,7 @@ def dispatch(fun):
         try:
             impl = registry[resolved]
         except KeyError:
-            msg = f"No backend implementation for {resolved!r}"
+            msg = f"Backend {resolved!r} has not registered this primitive."
             raise NotImplementedError(msg) from None
         return impl(*args, **kwargs)
 

@@ -34,25 +34,19 @@ from ..utils import safe_divide
 ArrayType = TypeVar("ArrayType")
 
 
-def _pad_and_concat(
-    left: Shaped[Array, "num_tx num_rx num_paths_left num_inter_left ..."],
-    right: Shaped[Array, "num_tx num_rx num_paths_right num_inter_right ..."],
+def _stack_ragged(
+    parts: "list[Array]",
     fill_value: Any,
+    width: int,
 ) -> Array:
-    """Concatenate along the paths axis, padding interactions to the max."""
-    max_inter = max(left.shape[3], right.shape[3])
-    extra = [(0, 0)] * (left.ndim - 4)
-    left = jnp.pad(
-        left,
-        ((0, 0), (0, 0), (0, 0), (0, max_inter - left.shape[3]), *extra),
-        constant_values=fill_value,
-    )
-    right = jnp.pad(
-        right,
-        ((0, 0), (0, 0), (0, 0), (0, max_inter - right.shape[3]), *extra),
-        constant_values=fill_value,
-    )
-    return jnp.concatenate((left, right), axis=2)
+    """Join per-order arrays along the path axis (2), padding the interaction
+    axis (3) of every part up to ``width`` first."""
+    padded = []
+    for part in parts:
+        pad = [(0, 0)] * part.ndim
+        pad[3] = (0, width - part.shape[3])
+        padded.append(jnp.pad(part, pad, constant_values=fill_value))
+    return jnp.concatenate(padded, axis=2)
 
 
 class DeepMIMO(eqx.Module, Generic[ArrayType]):
@@ -91,17 +85,17 @@ class DeepMIMO(eqx.Module, Generic[ArrayType]):
 
     @property
     def num_tx(self) -> int:
-        """Number of transmitters."""
+        """Transmitter count."""
         return self.mask.shape[0]
 
     @property
     def num_rx(self) -> int:
-        """Number of receivers."""
+        """Receiver count."""
         return self.mask.shape[1]
 
     @property
     def num_paths(self) -> int:
-        """Number of paths."""
+        """Path count."""
         return self.mask.shape[2]
 
     def asdict(self) -> dict[str, ArrayType]:
@@ -136,8 +130,8 @@ class DeepMIMO(eqx.Module, Generic[ArrayType]):
         interactions = jnp.asarray(interactions)
         if vertices.shape != self.inter_pos.shape:
             msg = (
-                "Cannot sort based on provided paths: shape mismatch, got "
-                f"{vertices.shape!r} but expected {self.inter_pos.shape!r}."
+                "External path geometry must match this dataset's shape "
+                f"{self.inter_pos.shape!r}; received {vertices.shape!r}."
             )
             raise ValueError(msg)
 
@@ -208,6 +202,75 @@ class DeepMIMO(eqx.Module, Generic[ArrayType]):
         return output
 
 
+def _slab_tables(
+    radio_materials: Mapping[str, Material],
+    names: "list[str]",
+    frequency: Float[ArrayLike, ""],
+) -> tuple[Array, Array]:
+    """Per-material complex refractive index and slab thickness tables.
+
+    Thickness ``-1`` encodes an infinite medium (no slab model).
+    """
+    refraction = []
+    thickness = []
+    for name in names:
+        material = radio_materials[name]
+        eps = material.relative_permittivity(frequency) - 1j * safe_divide(
+            material.conductivity(frequency), 2.0 * jnp.pi * frequency * epsilon_0
+        )
+        refraction.append(jnp.sqrt(eps))
+        thickness.append(
+            -1.0 if material.thickness is None else material.thickness
+        )
+    return jnp.asarray(refraction), jnp.asarray(thickness)
+
+
+def _transmit_field(
+    pol: Any, k_first: Float[Array, "*lanes 3"]
+) -> tuple[Array, Array]:
+    """Initial (theta, phi) field components for the TX polarization.
+
+    Components are carried as two scalar arrays rather than a trailing
+    ``[..., 2]`` axis, which pads poorly onto TPU vector lanes.
+    """
+    theta_hat, phi_hat = spherical_basis(k_first)
+    lanes = theta_hat.shape[:-1]
+    if isinstance(pol, str):
+        vertical = pol == "V"
+        return (
+            jnp.full(lanes, 1.0 if vertical else 0.0, dtype=complex),
+            jnp.full(lanes, 0.0 if vertical else 1.0, dtype=complex),
+        )
+    p = jnp.asarray(pol, dtype=complex)
+    return jnp.sum(p * theta_hat, axis=-1), jnp.sum(p * phi_hat, axis=-1)
+
+
+def _receive_projection(
+    pol: Any,
+    k_last: Float[Array, "*lanes 3"],
+    e_theta: Array,
+    e_phi: Array,
+) -> Array:
+    """Project the arriving field onto the RX polarization."""
+    theta_hat, phi_hat = spherical_basis(k_last)
+    if isinstance(pol, str):
+        # Alignment between the forward-propagation basis and the receive
+        # basis, which points along -k.
+        align = jnp.sum(theta_hat * spherical_basis(-k_last)[0], axis=-1)
+        return align * e_theta if pol == "V" else -align * e_phi
+    p = jnp.asarray(pol)
+    return (
+        jnp.sum(p * theta_hat, axis=-1) * e_theta
+        + jnp.sum(p * phi_hat, axis=-1) * e_phi
+    )
+
+
+def _direction_angles_deg(k: Float[Array, "... 3"]) -> tuple[Array, Array]:
+    """(azimuth, elevation) of unit directions, in degrees."""
+    _, elevation, azimuth = jnp.moveaxis(cartesian_to_spherical(k), -1, 0)
+    return jnp.rad2deg(azimuth), jnp.rad2deg(elevation)
+
+
 def export(
     *,
     paths: TracedPaths | Iterable[TracedPaths],
@@ -224,38 +287,30 @@ def export(
     """Export traced paths to the DeepMIMO format.
 
     Assumes far-field propagation in free space and isotropic antennas.
-    Reference parity: plugins/deepmimo.py:408-724.
+    Feature parity: reference ``deepmimo.export`` (plugins/deepmimo.py:
+    408-724), re-built around the first-class
+    :func:`differt_tpu.em.transition_matrix` op with scalar theta/phi field
+    carriers. Per-order batches are computed independently and merged once
+    at the end, so multi-order inputs compile one kernel per order instead
+    of a growing concat chain.
     """
     if scene.mesh.face_materials is None:
-        msg = "Scene must contain information about face materials."
+        msg = (
+            "Cannot export paths without per-face material information;"
+            " load or assign materials on the scene mesh first."
+        )
         raise ValueError(msg)
     if radio_materials is None:
         radio_materials = materials
 
     if isinstance(polarization, tuple) and len(polarization) == 2:
-        tx_polarization, rx_polarization = polarization
+        tx_pol, rx_pol = polarization
     else:
-        tx_polarization = rx_polarization = polarization
+        tx_pol = rx_pol = polarization
 
-    paths_iter = [paths] if isinstance(paths, TracedPaths) else list(paths)
-
-    eta_r = jnp.array([
-        radio_materials[name].relative_permittivity(frequency)
-        for name in scene.mesh.material_names
-    ])
-    conductivity = jnp.array([
-        radio_materials[name].conductivity(frequency)
-        for name in scene.mesh.material_names
-    ])
-    thickness = jnp.array([
-        radio_materials[name].thickness
-        if radio_materials[name].thickness is not None
-        else -1.0
-        for name in scene.mesh.material_names
-    ])
-    omega = 2.0 * jnp.pi * frequency
-    epsilon_complex = eta_r - 1j * conductivity / (omega * epsilon_0)
-    n_complex = jnp.sqrt(epsilon_complex)
+    n_complex, thickness = _slab_tables(
+        radio_materials, scene.mesh.material_names, frequency
+    )
     wavelength = c / frequency
 
     tx_pos = scene.transmitters.reshape(-1, 3)
@@ -263,130 +318,91 @@ def export(
     num_tx = tx_pos.shape[0]
     num_rx = rx_pos.shape[0]
 
-    a_all = jnp.zeros((num_tx, num_rx, 0), dtype=complex)
-    k_d = jnp.zeros((num_tx, num_rx, 0, 3))
-    k_a = jnp.zeros_like(k_d)
-    lengths = jnp.zeros((num_tx, num_rx, 0))
-    primitives = (
-        jnp.zeros((num_tx, num_rx, 0, 0), dtype=int) if include_primitives else None
-    )
-    inter = jnp.zeros((num_tx, num_rx, 0, 0), dtype=int)
-    inter_pos = jnp.zeros((num_tx, num_rx, 0, 0, 3))
-    mask = jnp.zeros((num_tx, num_rx, 0), dtype=bool)
-
-    for batch in paths_iter:
+    def batch_channel(batch: TracedPaths) -> dict[str, Array]:
+        """Channel amplitude + geometry for one (single-order) path batch."""
         batch = batch.reshape(num_tx, num_rx, -1)
-        segments = jnp.diff(batch.vertices, axis=-2)
-        k, s = normalize(segments, keepdims=True)
+        k_hat, seg_len = normalize(jnp.diff(batch.vertices, axis=-2), keepdims=True)
+        total_len = seg_len.sum(axis=(-2, -1))
 
-        if primitives is not None:
-            primitives = _pad_and_concat(
-                primitives, batch.objects[..., 1:-1], fill_value=-1
-            )
-        inter = _pad_and_concat(
-            inter,
-            batch.interaction_types
-            if batch.interaction_types is not None
-            else jnp.full_like(
-                batch.objects[..., 1:-1], InteractionType.REFLECTION
-            ),
-            fill_value=-1,
-        )
-        inter_pos = _pad_and_concat(
-            inter_pos, batch.vertices[..., 1:-1, :], fill_value=0.0
-        )
-        k_d = jnp.concatenate((k_d, k[..., 0, :]), axis=-2)
-        k_a = jnp.concatenate((k_a, -k[..., -1, :]), axis=-2)
-
-        theta_hat_0, phi_hat_0 = spherical_basis(k[..., 0, :])
-
-        # Field components carried as scalar (theta, phi) arrays; trailing
-        # [..., 2] axes are pathological on TPU (lane padding).
-        shape = theta_hat_0.shape[:-1]
-        if tx_polarization == "V":
-            e_theta = jnp.ones(shape, dtype=complex)
-            e_phi = jnp.zeros(shape, dtype=complex)
-        elif tx_polarization == "H":
-            e_theta = jnp.zeros(shape, dtype=complex)
-            e_phi = jnp.ones(shape, dtype=complex)
-        else:
-            p = jnp.asarray(tx_polarization, dtype=complex)
-            e_theta = jnp.sum(p * theta_hat_0, axis=-1)
-            e_phi = jnp.sum(p * phi_hat_0, axis=-1)
-
+        e_theta, e_phi = _transmit_field(tx_pol, k_hat[..., 0, :])
         if batch.order > 0:
-            obj_indices = batch.objects[..., 1:-1]
-            mat_indices = jnp.take(scene.mesh.face_materials, obj_indices, axis=0)
-            obj_normals = jnp.take(scene.mesh.normals, obj_indices, axis=0)
-            n_r_val = jnp.take(n_complex, mat_indices, axis=0)
-            thickness_val = jnp.take(thickness, mat_indices, axis=0)
-
+            bounce_objects = batch.objects[..., 1:-1]
+            slab_ids = jnp.take(scene.mesh.face_materials, bounce_objects, axis=0)
             e_theta, e_phi = transition_apply(
                 batch.vertices,
-                obj_normals,
-                n_r_val,
-                thickness_val,
+                jnp.take(scene.mesh.normals, bounce_objects, axis=0),
+                jnp.take(n_complex, slab_ids, axis=0),
+                jnp.take(thickness, slab_ids, axis=0),
                 wavelength,
                 e_theta,
                 e_phi,
                 interaction_types=batch.interaction_types,
             )
+        amplitude = _receive_projection(rx_pol, k_hat[..., -1, :], e_theta, e_phi)
 
-        theta_hat_last, phi_hat_last = spherical_basis(k[..., -1, :])
-        if rx_polarization in ("V", "H"):
-            theta_hat_neg = spherical_basis(-k[..., -1, :])[0]
-            a_coeff = jnp.sum(theta_hat_last * theta_hat_neg, axis=-1)
-            if rx_polarization == "V":
-                a_r = a_coeff * e_theta
-            else:
-                a_r = -a_coeff * e_phi
-        else:
-            p = jnp.asarray(rx_polarization)
-            a_r = (
-                jnp.sum(p * theta_hat_last, axis=-1) * e_theta
-                + jnp.sum(p * phi_hat_last, axis=-1) * e_phi
-            )
-
-        s_tot = s.sum(axis=-2)
-        spreading = safe_divide(1.0, s_tot)
-        phase_val = -2.0 * jnp.pi * frequency * s_tot / c
-        phase_shift = jax.lax.complex(jnp.cos(phase_val), jnp.sin(phase_val))
-        a_r = a_r * (spreading * phase_shift)[..., 0]
-
-        a_all = jnp.concatenate((a_all, a_r), axis=-1)
-        lengths = jnp.concatenate((lengths, s_tot[..., 0]), axis=-1)
-        mask = jnp.concatenate(
-            (
-                mask,
-                batch.mask
-                if batch.mask is not None
-                else jnp.ones(
-                    (num_tx, num_rx, batch.vertices.shape[2]), dtype=bool
-                ),
-            ),
-            axis=-1,
+        # Free-space 1/s spreading and e^{-j 2 pi f s / c} propagation phase.
+        phase = -2.0 * jnp.pi * frequency * total_len / c
+        amplitude = amplitude * safe_divide(1.0, total_len) * jax.lax.complex(
+            jnp.cos(phase), jnp.sin(phase)
         )
 
-    a = a_all * (wavelength / (4 * jnp.pi))
-    power = 10 * jnp.log10(jnp.abs(a) ** 2 / z_0)
-    phase = jnp.angle(a, deg=True)
-    delay = lengths / c
+        types = batch.interaction_types
+        if types is None:
+            types = jnp.full_like(
+                batch.objects[..., 1:-1], InteractionType.REFLECTION
+            )
+        valid = batch.mask
+        if valid is None:
+            valid = jnp.ones(batch.shape, dtype=bool)
+        return {
+            "amplitude": amplitude,
+            "length": total_len,
+            "k_first": k_hat[..., 0, :],
+            "k_last": k_hat[..., -1, :],
+            "types": types,
+            "points": batch.vertices[..., 1:-1, :],
+            "objects": batch.objects[..., 1:-1],
+            "valid": valid,
+        }
 
-    _, aoa_el, aoa_az = jnp.split(cartesian_to_spherical(k_a), 3, axis=-1)
-    _, aod_el, aod_az = jnp.split(cartesian_to_spherical(k_d), 3, axis=-1)
+    batches = [paths] if isinstance(paths, TracedPaths) else list(paths)
+    if not batches:
+        # No path batches: emit a structurally-valid, zero-path dataset.
+        empty = TracedPaths(
+            vertices=jnp.zeros((num_tx, num_rx, 0, 2, 3)),
+            objects=jnp.zeros((num_tx, num_rx, 0, 2), dtype=jnp.int32),
+            mask=jnp.zeros((num_tx, num_rx, 0), dtype=bool),
+            interaction_types=jnp.zeros((num_tx, num_rx, 0, 0), dtype=jnp.int32),
+        )
+        batches = [empty]
+    per_order = [batch_channel(batch) for batch in batches]
+
+    def flat(field: str) -> Array:
+        return jnp.concatenate([p[field] for p in per_order], axis=-1)
+
+    widest = max(p["types"].shape[3] for p in per_order)
+    amplitude = flat("amplitude") * (wavelength / (4 * jnp.pi))
+    aod_az, aod_el = _direction_angles_deg(
+        jnp.concatenate([p["k_first"] for p in per_order], axis=2)
+    )
+    aoa_az, aoa_el = _direction_angles_deg(
+        jnp.concatenate([-p["k_last"] for p in per_order], axis=2)
+    )
 
     return DeepMIMO(
-        power=power,
-        phase=phase,
-        delay=delay,
-        aoa_az=jnp.rad2deg(aoa_az).squeeze(axis=-1),
-        aoa_el=jnp.rad2deg(aoa_el).squeeze(axis=-1),
-        aod_az=jnp.rad2deg(aod_az).squeeze(axis=-1),
-        aod_el=jnp.rad2deg(aod_el).squeeze(axis=-1),
-        inter=inter,
-        inter_pos=inter_pos,
+        power=10.0 * jnp.log10(jnp.abs(amplitude) ** 2 / z_0),
+        phase=jnp.angle(amplitude, deg=True),
+        delay=flat("length") / c,
+        aoa_az=aoa_az,
+        aoa_el=aoa_el,
+        aod_az=aod_az,
+        aod_el=aod_el,
+        inter=_stack_ragged([p["types"] for p in per_order], -1, widest),
+        inter_pos=_stack_ragged([p["points"] for p in per_order], 0.0, widest),
         rx_pos=rx_pos,
         tx_pos=tx_pos,
-        mask=mask,
-        primitives=primitives,
+        mask=flat("valid"),
+        primitives=_stack_ragged([p["objects"] for p in per_order], -1, widest)
+        if include_primitives
+        else None,
     )

@@ -70,7 +70,7 @@ class DiffractionPathTracer(tk.Module):
     epsilon: Float[ArrayLike, ""] | None = None
     """Tolerance for ray / object intersection checks."""
     hit_tol: Float[ArrayLike, ""] | None = None
-    """Tolerance for blockage checks."""
+    """Hit-distance tolerance when testing path segments for blockage."""
     min_len: Float[ArrayLike, ""] | None = None
     """Minimal (squared) segment length for a valid path."""
 

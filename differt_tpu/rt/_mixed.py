@@ -124,7 +124,7 @@ class MixedPathTracer(tk.Module):
     epsilon: Float[ArrayLike, ""] | None = None
     """Tolerance for point-in-triangle / point-on-segment checks."""
     hit_tol: Float[ArrayLike, ""] | None = None
-    """Tolerance for blockage checks."""
+    """Hit-distance tolerance when testing path segments for blockage."""
     min_len: Float[ArrayLike, ""] | None = None
     """Minimal (squared) segment length for a valid path."""
     angle_tol: float = 1e-2

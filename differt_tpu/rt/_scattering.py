@@ -88,7 +88,7 @@ class ScatteringPathTracer(tk.Module):
     """
 
     hit_tol: Float[ArrayLike, ""] | None = None
-    """Tolerance for blockage checks."""
+    """Hit-distance tolerance when testing path segments for blockage."""
     min_len: Float[ArrayLike, ""] | None = None
     """Minimal (squared) segment length for a valid path."""
     num_samples: int = 1

@@ -45,7 +45,7 @@ class AbstractPathSolver(eqx.Module):
     epsilon: AbstractVar[float]
     """Tolerance for ray / object intersection checks."""
     hit_tol: AbstractVar[float]
-    """Tolerance for blockage checks."""
+    """Hit-distance tolerance when testing path segments for blockage."""
 
 
 class AbstractPathTracer(AbstractPathSolver):
@@ -575,13 +575,13 @@ class ExhaustivePathTracer(AbstractPathTracer):
     epsilon: Float[ArrayLike, ""] | None = None
     """Tolerance for ray / object intersection checks."""
     hit_tol: Float[ArrayLike, ""] | None = None
-    """Tolerance for blockage checks."""
+    """Hit-distance tolerance when testing path segments for blockage."""
     min_len: Float[ArrayLike, ""] | None = None
     """Minimal (squared) segment length for a valid path."""
     smoothing_factor: Float[ArrayLike, ""] | None = None
     """Slope of the smoothing function (None = hard checks)."""
     confidence_threshold: Float[ArrayLike, ""] = 0.5
-    """Confidence threshold for valid paths."""
+    """Smoothed-mask confidence above which a path counts as valid."""
     batch_size: int | None = 512
     """Triangle tile size for occlusion checks."""
     disconnect_inactive_triangles: bool = False
@@ -709,13 +709,13 @@ class HybridPathTracer(AbstractPathTracer):
     epsilon: Float[ArrayLike, ""] | None = None
     """Tolerance for ray / object intersection checks."""
     hit_tol: Float[ArrayLike, ""] | None = None
-    """Tolerance for blockage checks."""
+    """Hit-distance tolerance when testing path segments for blockage."""
     min_len: Float[ArrayLike, ""] | None = None
     """Minimal (squared) segment length for a valid path."""
     smoothing_factor: Float[ArrayLike, ""] | None = None
     """Slope of the smoothing function (None = hard checks)."""
     confidence_threshold: Float[ArrayLike, ""] = 0.5
-    """Confidence threshold for valid paths."""
+    """Smoothed-mask confidence above which a path counts as valid."""
     batch_size: int | None = 512
     """Triangle tile size for occlusion checks."""
     chunk_size: int | None = None
@@ -836,7 +836,7 @@ class SBRPathLauncher(AbstractPathLauncher):
     epsilon: Float[ArrayLike, ""] | None = None
     """Tolerance for ray / object intersection checks."""
     hit_tol: Float[ArrayLike, ""] | None = None
-    """Tolerance for blockage checks."""
+    """Hit-distance tolerance when testing path segments for blockage."""
     max_dist: Float[ArrayLike, ""] = 1e-3
     """Maximal squared ray-to-receiver distance for capture."""
 
