@@ -47,6 +47,41 @@ def _sync(x) -> float:
     return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
 
 
+def _steady_time(run_once, *, min_elapsed: float = 1.0, max_repeat: int = 4096):
+    """Best per-call time with the repeat count grown until each timed
+    region lasts >= ``min_elapsed`` seconds (sub-second regions are
+    dispatch noise, not throughput). ``run_once(i)`` must vary its inputs
+    with ``i`` so repeats cannot collapse to a cached value; outputs are
+    accumulated and fetched once so the host round-trip is amortized.
+
+    Returns ``(best_per_call_s, repeat, timed_region_s)``.
+    """
+    _sync(run_once(0))  # compile + warm up
+
+    def region(repeat: int) -> float:
+        start = time.perf_counter()
+        total = None
+        for i in range(repeat):
+            out = run_once(i)
+            total = out if total is None else total + out
+        _sync(total)
+        return time.perf_counter() - start
+
+    repeat = 1
+    while True:
+        elapsed = region(repeat)
+        if elapsed >= min_elapsed or repeat >= max_repeat:
+            break
+        # Overshoot the projection so the loop converges in ~2 steps.
+        projected = int(repeat * 1.5 * min_elapsed / max(elapsed, 1e-9))
+        repeat = min(max_repeat, max(2 * repeat, projected))
+
+    best = elapsed / repeat
+    for _ in range(2):
+        best = min(best, region(repeat) / repeat)
+    return best, repeat, best * repeat
+
+
 def bench_coverage() -> dict:
     # Triangle (non-quad) scene: the trace dispatches to the fused Pallas
     # megakernel on TPU.
@@ -75,25 +110,9 @@ def bench_coverage() -> dict:
         megakernel = False
         _sync(run(megakernel))
 
-    # Steady-state throughput: queue REPEAT async iterations (distinct
-    # inputs, so nothing collapses to a cached value) and fetch once — the
-    # host-fetch round trip (tens of ms through the device tunnel) is
-    # amortized instead of being billed to every map.
-    REPEAT = 8
-
-    def run_many():
-        total = None
-        for i in range(REPEAT):
-            out = run(megakernel, eta_r + 1e-6 * i)
-            total = out if total is None else total + out
-        return total
-
-    _sync(run_many())
-    best = float("inf")
-    for _ in range(3):
-        start = time.perf_counter()
-        _sync(run_many())
-        best = min(best, (time.perf_counter() - start) / REPEAT)
+    best, repeat, region_s = _steady_time(
+        lambda i: run(megakernel, eta_r + 1e-6 * i)
+    )
 
     num_candidates = count_path_candidates(scene.mesh.num_primitives, ORDER)
     num_rx = scene.num_receivers
@@ -101,7 +120,9 @@ def bench_coverage() -> dict:
         "paths_per_s": num_candidates * num_rx / best,
         "px_per_s": num_rx / best,
         "num_candidates": num_candidates,
-        "elapsed_s": best,
+        "per_call_s": best,
+        "repeat": repeat,
+        "elapsed_s": region_s,
         "num_primitives": scene.mesh.num_primitives,
     }
 
@@ -182,7 +203,9 @@ def bench_cityscale() -> dict:
         return best
 
     # Decode candidate shards on the device (closed-form index mapping).
-    cands_a = generate_path_candidates(num_triangles, 2, size=131072)
+    # 262 144 candidates x 128 RX = 3.4e7 traced paths per run keeps the
+    # timed region comfortably above the 1-second noise floor.
+    cands_a = generate_path_candidates(num_triangles, 2, size=262144)
     scene_a = tk.tree_at(lambda s: s.receivers, scene, grid(16, 8))
     try:
         elapsed_a = timed(scene_a, cands_a, None)
@@ -207,6 +230,76 @@ def bench_cityscale() -> dict:
         "num_candidates_b": int(cands_b.shape[0]),
         "elapsed_b_s": elapsed_b,
     }
+
+
+def bench_cityscale_xl() -> dict:
+    """Munich-class row: ~113k-triangle procedural city, order-2 trace+EM.
+
+    Both compute paths are timed on identical work so the megakernel/XLA
+    crossover is measured, not folklore (docs/performance.md): the fused
+    Pallas megakernel wins below ~50k triangles, the XLA pipeline (whose
+    blockage sweep uses the two-level-AABB Pallas any-hit kernel) wins
+    above. The reference serves this scene class through Warp's CUDA BVH
+    (_mesh.py:142-223), unavailable on TPU.
+    """
+    from differt_tpu.geometry import generate_path_candidates
+    import differt_tpu.treekit as tk
+
+    scene = urban_scene(56, 56)  # 56*56 buildings x 36 tris + ground
+    scene = tk.tree_at(
+        lambda s: s.transmitters, scene, jnp.array([[0.0, 0.0, 60.0]])
+    )
+    num_triangles = int(scene.mesh.num_triangles)
+
+    (min_x, min_y, _), (max_x, max_y, _) = scene.mesh.bounding_box
+    x, y = jnp.meshgrid(
+        jnp.linspace(min_x, max_x, 16), jnp.linspace(min_y, max_y, 8)
+    )
+    rx = jnp.stack((x, y, jnp.full_like(x, 1.5)), axis=-1)
+    scene = tk.tree_at(lambda s: s.receivers, scene, rx)
+    num_rx = 128
+
+    num_cands = 65536
+    cands = generate_path_candidates(num_triangles, 2, size=num_cands)
+
+    def run(megakernel, shift):
+        return power_map_chunked(
+            scene,
+            FREQUENCY + shift,
+            path_candidates=cands,
+            eta_r=jnp.array([5.24]),
+            conductivity=jnp.array([0.12]),
+            candidate_chunk=4096,
+            rx_chunk=128,
+            megakernel=megakernel,
+        )
+
+    def timed(megakernel) -> float:
+        _sync(run(megakernel, 0.0))
+        best = float("inf")
+        for rep in range(2):
+            start = time.perf_counter()
+            _sync(run(megakernel, 1e3 * (rep + 1)))
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    paths = num_cands * num_rx
+    result = {"num_triangles": num_triangles, "num_candidates": num_cands}
+    try:
+        t_mega = timed(True)
+        result["megakernel_paths_per_s"] = paths / t_mega
+        result["megakernel_elapsed_s"] = t_mega
+    except Exception:  # noqa: BLE001 - the benchmark must always report.
+        result["megakernel_paths_per_s"] = None
+    t_xla = timed(False)
+    result["xla_paths_per_s"] = paths / t_xla
+    result["xla_elapsed_s"] = t_xla
+    result["paths_per_s"] = max(
+        result.get("megakernel_paths_per_s") or 0.0, paths / t_xla
+    )
+    if result.get("megakernel_paths_per_s"):
+        result["xla_over_megakernel"] = t_mega / t_xla
+    return result
 
 
 def bench_raycast() -> dict:
@@ -349,6 +442,127 @@ def bench_config3() -> dict:
     }
 
 
+def bench_smoke() -> dict:
+    """Real-TPU smoke matrix (~2 min): compile + run the Pallas kernels and
+    the fused trace megakernel across the corners interpret mode cannot
+    check — odd ray counts and tile remainders, varying ray counts (the
+    recompile guard), active-triangle masks, quads, and multi-TX — asserting
+    agreement with the pure-XLA path on every case. This is the regression
+    net for SMEM/block-spec bugs that are invisible on CPU (e.g. 8f53133's
+    multi-TX megakernel fix and 719964e's closest-hit recompile)."""
+    import numpy as np
+
+    import differt_tpu.treekit as tk
+    from differt_tpu.geometry import generate_path_candidates
+    from differt_tpu.ops._pallas_rt import pallas_ray_intersect_any_triangle
+
+    results: dict = {}
+
+    def check(name, fn) -> None:
+        start = time.perf_counter()
+        try:
+            fn()
+            results[name] = {"ok": True, "s": round(time.perf_counter() - start, 2)}
+        except Exception as exc:  # noqa: BLE001 — report the matrix, don't abort it.
+            results[name] = {
+                "ok": False,
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+            }
+
+    key = jax.random.key(42)
+    canyon = street_canyon_scene()
+    tv = canyon.mesh.triangle_vertices
+    num_tris = tv.shape[0]
+
+    def rand_rays(n, salt):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, salt))
+        origins = jax.random.uniform(k1, (n, 3), minval=-40.0, maxval=40.0)
+        origins = origins.at[:, 2].set(jnp.abs(origins[:, 2]) + 1.0)
+        directions = jax.random.normal(k2, (n, 3)) * 30.0
+        return origins, directions
+
+    def closest_matrix() -> None:
+        # Odd/irregular ray counts force tile remainders; back-to-back
+        # different counts exercise the recompile guard; the stride-7 mask
+        # exercises active-triangle handling.
+        active = (jnp.arange(num_tris) % 7) != 3
+        for salt, n in enumerate((257, 1000, 1024)):
+            o, d = rand_rays(n, salt)
+            i_p, t_p = pallas_first_triangle_hit_by_ray(o, d, tv, active)
+            i_x, t_x = first_triangle_hit_by_ray(o, d, tv, active, batch_size=64)
+            np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+            np.testing.assert_allclose(
+                np.where(np.isfinite(t_p), t_p, -1.0),
+                np.where(np.isfinite(t_x), t_x, -1.0),
+                rtol=1e-5,
+                atol=1e-6,
+            )
+
+    check("closest_hit_remainders_mask_recompile", closest_matrix)
+
+    def anyhit_matrix() -> None:
+        from differt_tpu.rt import ray_intersect_any_triangle
+
+        for salt, n in enumerate((129, 640)):
+            o, d = rand_rays(n, 10 + salt)
+            h_p = pallas_ray_intersect_any_triangle(o, d, tv, hit_threshold=0.98)
+            h_x = ray_intersect_any_triangle(o, d, tv, hit_tol=0.02, batch_size=64)
+            np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_x))
+
+    check("anyhit_remainders", anyhit_matrix)
+
+    def trace_case(scene, num_cands: int) -> None:
+        cands = generate_path_candidates(
+            int(scene.mesh.num_primitives), 2, size=num_cands
+        )
+        mega = scene.trace_paths(path_candidates=cands, megakernel=True)
+        xla = scene.trace_paths(path_candidates=cands, megakernel=False)
+        np.testing.assert_array_equal(np.asarray(mega.mask), np.asarray(xla.mask))
+        valid = np.asarray(mega.mask)
+        np.testing.assert_allclose(
+            np.asarray(mega.vertices)[valid],
+            np.asarray(xla.vertices)[valid],
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+    def multi_tx_scene():
+        scene = tk.tree_at(
+            lambda s: s.transmitters,
+            canyon,
+            jnp.array([[-30.0, 0.0, 20.0], [25.0, 3.0, 10.0]]),
+        )
+        return tk.tree_at(
+            lambda s: s.receivers,
+            scene,
+            jnp.array([[0.0, 1.0, 1.5], [10.0, -2.0, 1.5], [-5.0, 4.0, 1.5]]),
+        )
+
+    # Odd candidate count (1021 is prime) → megakernel tile remainders.
+    check("megakernel_multi_tx_odd_candidates", lambda: trace_case(multi_tx_scene(), 1021))
+
+    def masked_case() -> None:
+        scene = multi_tx_scene()
+        mask = (jnp.arange(scene.mesh.num_triangles) % 5) != 2
+        scene = tk.tree_at(
+            lambda s: s.mesh.mask, scene, mask, is_leaf=lambda x: x is None
+        )
+        trace_case(scene, 509)
+
+    check("megakernel_masked_mesh", masked_case)
+
+    def quads_case() -> None:
+        scene = multi_tx_scene().set_assume_quads()
+        trace_case(scene, 509)
+
+    check("megakernel_quads", quads_case)
+
+    results["all_ok"] = all(
+        v.get("ok", False) for k, v in results.items() if isinstance(v, dict)
+    )
+    return results
+
+
 def _load_cpu_baseline() -> dict:
     path = pathlib.Path(__file__).parent / "BASELINE_MEASURED.json"
     if path.is_file():
@@ -357,8 +571,24 @@ def _load_cpu_baseline() -> dict:
 
 
 def main() -> None:
+    import sys
+
     set_backend("auto")
+    if "--smoke" in sys.argv:
+        smoke = bench_smoke()
+        print(
+            json.dumps({
+                "metric": "smoke_matrix_all_ok",
+                "value": 1.0 if smoke["all_ok"] else 0.0,
+                "unit": "bool",
+                "vs_baseline": 1.0,
+                "extra": {"smoke": smoke, "backend": jax.default_backend()},
+            })
+        )
+        return
+
     cityscale = bench_cityscale()
+    cityscale_xl = bench_cityscale_xl()
     coverage = bench_coverage()
     raycast = bench_raycast()
     config3 = bench_config3()
@@ -382,6 +612,10 @@ def main() -> None:
                 ),
                 "cityscale_bruxelles": {
                     k: round(v, 2) for k, v in cityscale.items()
+                },
+                "cityscale_xl_113k_tris": {
+                    k: (round(v, 2) if isinstance(v, (int, float)) else v)
+                    for k, v in cityscale_xl.items()
                 },
                 "canyon_vs_cpu_baseline": {
                     "paths": round(
