@@ -23,8 +23,9 @@ Per-candidate scalars (mirror vertices/normals, candidate triangles) ride
 in SMEM; coordinates use SoA layouts so the lane axis is the 128-wide
 RX/triangle axis.
 
-Triangles-only (no quads), hard masks (no smoothing): the general cases
-fall back to the XLA pipeline, which is also the correctness oracle.
+Quads are supported (the inside-triangle check accepts a hit on either
+triangle of each quad); hard masks only (no smoothing) — the smoothed
+cases fall back to the XLA pipeline, which is also the correctness oracle.
 """
 
 import functools
@@ -69,7 +70,7 @@ def _trace_kernel(
     tx_ref,       # SMEM [num_tx, 8]          (x, y, z, pad...), all resident
     rx_ref,       # VMEM [4, tile_r]          rows x/y/z/pad
     mirrors_ref,  # SMEM [C_TILE, k, 8]       per bounce: mv(3) n(3) pad(2)
-    tris_ref,     # SMEM [C_TILE, k, 12]      per bounce: v0(3) e1(3) e2(3) pad
+    tris_ref,     # SMEM [C_TILE, tpm*k, 12]  per bounce-triangle: v0/e1/e2/pad
     mesh_ref,     # VMEM [9, tile_t]          v0/e1/e2 SoA (Morton-sorted)
     active_ref,   # VMEM [1, tile_t]
     tile_aabb_ref,  # SMEM [8, num_tiles]     per-triangle-tile AABB
@@ -80,6 +81,7 @@ def _trace_kernel(
     geom_scratch,  # VMEM [C_TILE, tile_r] bool
     *,
     order: int,
+    tris_per_mirror: int,
     epsilon: float,
     hit_tol: float,
     min_len: float,
@@ -160,40 +162,45 @@ def _trace_kernel(
                 seg_sq = _dot3(d, d)
                 seg_valid = seg_valid & jnp.logical_not(seg_sq < min_len)
 
-            # Inside-triangle checks: segment b vs candidate triangle b.
+            # Inside-triangle checks: segment b must hit ONE of its
+            # mirror's triangles (1 for plain meshes, 2 per quad).
             inside = jnp.ones_like(rx[0], dtype=jnp.bool_)
             for b in range(k):
-                v0 = [tris_ref[slot, b, c] for c in range(3)]
-                e1 = [tris_ref[slot, b, 3 + c] for c in range(3)]
-                e2 = [tris_ref[slot, b, 6 + c] for c in range(3)]
                 o = chain[b]
                 d = [chain[b + 1][c] - chain[b][c] for c in range(3)]
-                h = [
-                    d[1] * e2[2] - d[2] * e2[1],
-                    d[2] * e2[0] - d[0] * e2[2],
-                    d[0] * e2[1] - d[1] * e2[0],
-                ]
-                det = _dot3(h, e1)
-                inv = jnp.where(
-                    det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det)
-                )
-                s_vec = [o[c] - v0[c] for c in range(3)]
-                u = inv * _dot3(s_vec, h)
-                q = [
-                    s_vec[1] * e1[2] - s_vec[2] * e1[1],
-                    s_vec[2] * e1[0] - s_vec[0] * e1[2],
-                    s_vec[0] * e1[1] - s_vec[1] * e1[0],
-                ]
-                v = inv * _dot3(q, d)
-                tt = inv * _dot3(q, e2)
-                inside = inside & (
-                    (jnp.abs(det) > epsilon)
-                    & (u >= 0.0)
-                    & (u <= 1.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (tt > epsilon)
-                )
+                hit_any = jnp.zeros_like(rx[0], dtype=jnp.bool_)
+                for j in range(tris_per_mirror):
+                    row = tris_per_mirror * b + j
+                    v0 = [tris_ref[slot, row, c] for c in range(3)]
+                    e1 = [tris_ref[slot, row, 3 + c] for c in range(3)]
+                    e2 = [tris_ref[slot, row, 6 + c] for c in range(3)]
+                    h = [
+                        d[1] * e2[2] - d[2] * e2[1],
+                        d[2] * e2[0] - d[0] * e2[2],
+                        d[0] * e2[1] - d[1] * e2[0],
+                    ]
+                    det = _dot3(h, e1)
+                    inv = jnp.where(
+                        det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det)
+                    )
+                    s_vec = [o[c] - v0[c] for c in range(3)]
+                    u = inv * _dot3(s_vec, h)
+                    q = [
+                        s_vec[1] * e1[2] - s_vec[2] * e1[1],
+                        s_vec[2] * e1[0] - s_vec[0] * e1[2],
+                        s_vec[0] * e1[1] - s_vec[1] * e1[0],
+                    ]
+                    v = inv * _dot3(q, d)
+                    tt = inv * _dot3(q, e2)
+                    hit_any = hit_any | (
+                        (jnp.abs(det) > epsilon)
+                        & (u >= 0.0)
+                        & (u <= 1.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (tt > epsilon)
+                    )
+                inside = inside & hit_any
 
             # Same-side check per mirror.
             same_side = jnp.ones_like(rx[0], dtype=jnp.bool_)
@@ -388,6 +395,8 @@ def _pallas_trace_specular_impl(
     num_cand = mirror_vertices.shape[0]
     num_tris = triangle_vertices.shape[0]
     k = order
+    # 1 triangle per mirror for plain meshes, 2 for quads.
+    tris_per_mirror = candidate_triangles.shape[1] // max(k, 1)
 
     # Adaptive tiles: no point padding a small mesh (or RX set) up to the
     # maximum tile — wasted sublanes dominate for small scenes. Triangles
@@ -420,7 +429,7 @@ def _pallas_trace_specular_impl(
         ),
         axis=-1,
     )
-    cand_tris = _pad_to(cand_tris, 12, 2, 0.0)  # [C, k, 12]
+    cand_tris = _pad_to(cand_tris, 12, 2, 0.0)  # [C, tpm*k, 12]
     cand_tris = _pad_to(cand_tris, cand_padded, 0, 0.0)
 
     # The mesh feeds only the blockage phase (no triangle indices escape),
@@ -454,6 +463,7 @@ def _pallas_trace_specular_impl(
     kernel = functools.partial(
         _trace_kernel,
         order=k,
+        tris_per_mirror=tris_per_mirror,
         epsilon=epsilon,
         hit_tol=hit_tol,
         min_len=min_len,
@@ -481,7 +491,9 @@ def _pallas_trace_specular_impl(
             _smem_spec((num_tx, 8), lambda a, c, i, t: (0, 0)),
             _vmem_spec((4, tile_r), lambda a, c, i, t: (0, i)),
             _smem_spec((C_TILE, k, 8), lambda a, c, i, t: (c, 0, 0)),
-            _smem_spec((C_TILE, k, 12), lambda a, c, i, t: (c, 0, 0)),
+            _smem_spec(
+                (C_TILE, tris_per_mirror * k, 12), lambda a, c, i, t: (c, 0, 0)
+            ),
             _vmem_spec((9, tile_t), lambda a, c, i, t: (0, t)),
             _vmem_spec((1, tile_t), lambda a, c, i, t: (0, t)),
             _smem_spec((8, tris_padded // tile_t), lambda a, c, i, t: (0, 0)),

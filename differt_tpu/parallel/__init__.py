@@ -17,6 +17,7 @@ from ._sharding import (
     shard_along,
     sharded_power_map,
     sharded_trace_paths,
+    streamed_placement_step,
     training_step,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "shard_along",
     "sharded_power_map",
     "sharded_trace_paths",
+    "streamed_placement_step",
     "training_step",
 ]

@@ -248,3 +248,243 @@ def placement_training_step(
         eta_r - eta_learning_rate * grads["eta_r"],
         loss,
     )
+
+
+def _tile_amplitude_parts(
+    scene_tile, tx, eta_r, rx_tile, cand, itypes, valid,
+    frequency, conductivity, thickness, megakernel, batch_size,
+):
+    """(real, imag) of one (RX tile, candidate chunk) amplitude sum.
+
+    Real pairs instead of complex so the streamed VJP below composes with
+    the loss cotangent without any Wirtinger-convention bookkeeping.
+    """
+    from ..coverage import _coverage_tile
+
+    a = _coverage_tile(
+        scene_tile,
+        tx,
+        rx_tile,
+        cand,
+        itypes,
+        valid,
+        frequency,
+        eta_r,
+        conductivity,
+        thickness,
+        None,
+        True,
+        megakernel,
+        batch_size,
+    )
+    return jnp.real(a), jnp.imag(a)
+
+
+def _streamed_tile_grad(
+    scene_tile, tx, eta_r, rx_tile, cand, itypes, valid,
+    frequency, conductivity, thickness, g_re, g_im, megakernel, batch_size,
+):
+    """VJP of one tile's amplitude w.r.t. (tx, eta_r), jitted once.
+
+    Module-level (stable jit identity) for the same reason as
+    ``coverage._coverage_tile``: a per-call closure would recompile the
+    fused trace+EM+transpose graph on every invocation.
+    """
+
+    def f(tx_, eta_):
+        return _tile_amplitude_parts(
+            scene_tile, tx_, eta_, rx_tile, cand, itypes, valid,
+            frequency, conductivity, thickness, megakernel, batch_size,
+        )
+
+    _, vjp = jax.vjp(f, tx, eta_r)
+    return vjp((g_re, g_im))
+
+
+def _jit_tile_grad():
+    import differt_tpu.treekit as tk
+
+    return tk.filter_jit(_streamed_tile_grad)
+
+
+_TILE_GRAD = None
+
+
+def streamed_placement_step(
+    scene: Scene,
+    frequency: Float[ArrayLike, ""],
+    mesh: Mesh | None,
+    *,
+    tx: Float[Array, "num_tx 3"],
+    eta_r: Float[Array, " num_materials"],
+    conductivity: Float[Array, " num_materials"],
+    thickness: Float[Array, " num_materials"] | None = None,
+    path_candidates: Array,
+    candidate_chunk: int = 256,
+    rx_chunk: int = 8192,
+    target_power: Float[Array, "..."] | None = None,
+    tx_learning_rate: float = 1e-1,
+    eta_learning_rate: float = 1e-2,
+    megakernel: bool | None = None,
+    batch_size: int | None = 512,
+) -> tuple[
+    Float[Array, "num_tx 3"], Float[Array, " num_materials"], Float[Array, ""]
+]:
+    """One TX-placement + permittivity gradient step streamed over the grid.
+
+    :func:`placement_training_step` differentiates through a coverage map
+    materialized whole — impossible at city scale (16 TX x 10^6 RX x
+    candidates). This variant streams BOTH passes through fixed-size
+    (RX tile, candidate chunk) buffers:
+
+    1. Forward: accumulate the per-pixel coherent amplitude sum tile by
+       tile (the :func:`differt_tpu.coverage.power_map_chunked` loop).
+    2. The loss touches only that accumulated ``[num_tx, num_rx]`` array,
+       so its cotangent is one cheap elementwise pass. Without a
+       ``target_power`` the loss is the negated mean dB power
+       (coverage-optimal placement); with one, the dB MSE.
+    3. Backward: re-run each tile under ``jax.vjp`` with its cotangent
+       slice, accumulating TX/permittivity gradients — the total is a
+       plain sum of tile contributions, so the chunked VJP sum is the
+       exact full-grid gradient (validated against the unstreamed step
+       in tests/test_parallel.py).
+
+    Peak memory is O(candidate_chunk x rx_chunk) regardless of grid size.
+    With a device ``mesh``, every RX tile is sharded across it while TX
+    and materials stay replicated, so XLA all-reduces their per-tile
+    gradients over ICI inside the jitted tile step.
+    """
+    import differt_tpu.treekit as tk
+
+    from ..coverage import _coverage_tile, _resolve_materials
+    from ..em import z_0
+
+    global _TILE_GRAD
+    if _TILE_GRAD is None:
+        _TILE_GRAD = _jit_tile_grad()
+
+    frequency = jnp.asarray(frequency)
+    eta_r, conductivity, thickness = _resolve_materials(
+        scene, frequency, eta_r, conductivity, thickness
+    )
+
+    rx_all = scene.receivers.reshape(-1, 3)
+    num_rx = rx_all.shape[0]
+    rx_chunk = min(rx_chunk, max(num_rx, 1))
+    pad_r = (-num_rx) % rx_chunk
+    if pad_r:
+        rx_all = jnp.concatenate(
+            (rx_all, jnp.broadcast_to(rx_all[:1], (pad_r, 3))), axis=0
+        )
+
+    candidates = jnp.asarray(path_candidates)
+    num_candidates = candidates.shape[0]
+    candidate_chunk = min(candidate_chunk, max(num_candidates, 1))
+    pad_c = (-num_candidates) % candidate_chunk
+    if pad_c:
+        candidates = jnp.concatenate(
+            (
+                candidates,
+                jnp.broadcast_to(candidates[:1], (pad_c, candidates.shape[1])),
+            ),
+            axis=0,
+        )
+    itypes = jnp.zeros_like(candidates, dtype=jnp.int32)
+
+    scene_tile = tk.tree_at(
+        lambda s: s.receivers, scene, jnp.zeros((0, 3), rx_all.dtype)
+    )
+    if mesh is not None:
+        scene_tile = replicate(scene_tile, mesh)
+        tx = replicate(tx, mesh)
+        eta_r = replicate(eta_r, mesh)
+        conductivity = replicate(conductivity, mesh)
+
+    def tiles():
+        for row, r0 in enumerate(range(0, rx_all.shape[0], rx_chunk)):
+            rx_tile = rx_all[r0 : r0 + rx_chunk]
+            if mesh is not None:
+                rx_tile = shard_along(rx_tile, mesh, axis=0)
+            for c0 in range(0, candidates.shape[0], candidate_chunk):
+                chunk_valid = (
+                    jnp.arange(c0, c0 + candidate_chunk) < num_candidates
+                )
+                yield (
+                    row,
+                    rx_tile,
+                    candidates[c0 : c0 + candidate_chunk],
+                    itypes[c0 : c0 + candidate_chunk],
+                    chunk_valid,
+                )
+
+    # Pass 1: forward accumulation of the per-pixel amplitude sum.
+    num_row_tiles = rx_all.shape[0] // rx_chunk
+    row_totals: list[Array | None] = [None] * num_row_tiles
+    for row, rx_tile, cand, it, valid in tiles():
+        part = _coverage_tile(
+            scene_tile,
+            tx,
+            rx_tile,
+            cand,
+            it,
+            valid,
+            frequency,
+            eta_r,
+            conductivity,
+            thickness,
+            None,
+            True,
+            megakernel,
+            batch_size,
+        )
+        row_totals[row] = (
+            part if row_totals[row] is None else row_totals[row] + part
+        )
+    total = jnp.concatenate(row_totals, axis=-1)[..., :num_rx]
+
+    # Pass 2: loss + cotangent on the accumulated totals only.
+    def loss_of(parts: tuple[Array, Array]) -> Array:
+        re, im = parts
+        power = (re**2 + im**2) / z_0
+        power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
+        if target_power is not None:
+            return jnp.mean((power_db - jnp.asarray(target_power)) ** 2)
+        return -jnp.mean(power_db)
+
+    loss, (g_re, g_im) = jax.value_and_grad(loss_of)(
+        (jnp.real(total), jnp.imag(total))
+    )
+    if pad_r:
+        zeros = jnp.zeros((g_re.shape[0], pad_r), g_re.dtype)
+        g_re = jnp.concatenate((g_re, zeros), axis=-1)
+        g_im = jnp.concatenate((g_im, zeros), axis=-1)
+
+    # Pass 3: per-tile VJPs, accumulated.
+    g_tx = jnp.zeros_like(tx)
+    g_eta = jnp.zeros_like(eta_r)
+    for row, rx_tile, cand, it, valid in tiles():
+        sl = slice(row * rx_chunk, (row + 1) * rx_chunk)
+        d_tx, d_eta = _TILE_GRAD(
+            scene_tile,
+            tx,
+            eta_r,
+            rx_tile,
+            cand,
+            it,
+            valid,
+            frequency,
+            conductivity,
+            thickness,
+            g_re[:, sl],
+            g_im[:, sl],
+            megakernel,
+            batch_size,
+        )
+        g_tx = g_tx + d_tx
+        g_eta = g_eta + d_eta
+
+    return (
+        tx - tx_learning_rate * g_tx,
+        eta_r - eta_learning_rate * g_eta,
+        loss,
+    )

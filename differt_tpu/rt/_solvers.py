@@ -350,7 +350,6 @@ def trace_path_candidates(
         megakernel = (
             get_backend() == "pallas"
             and smoothing_factor is None
-            and not mesh.assume_quads
             and order >= 1
             and num_candidates > 0
             and min_len_static is not None

@@ -108,3 +108,24 @@ def test_gradient_through_megakernel_matches_xla() -> None:
     assert bool(jnp.isfinite(g_fused).all())
     assert float(jnp.abs(g_fused).max()) > 0.0
     chex.assert_trees_all_close(g_fused, g_xla, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_matches_xla_pipeline_with_quads(order: int) -> None:
+    # Quad meshes hand the kernel TWO candidate triangles per mirror; a
+    # reflection point may land inside either one.
+    mesh = Mesh.box(length=10.0, width=3.0, height=2.0, with_top=True)
+    scene = Scene(
+        transmitters=jnp.array([[-4.0, 0.0, 0.0], [0.0, 1.0, 0.5]]),
+        receivers=jnp.array([[4.0, 0.0, 0.0], [3.0, 0.5, 0.3]]),
+        mesh=mesh.set_assume_quads(),
+    )
+    oracle, verts, mask = run_both(scene, order)
+    assert int(np.asarray(oracle.mask).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(oracle.mask))
+    valid = np.asarray(oracle.mask)
+    chex.assert_trees_all_close(
+        jnp.asarray(np.asarray(verts)[valid]),
+        jnp.asarray(np.asarray(oracle.vertices)[valid]),
+        atol=1e-4,
+    )

@@ -229,3 +229,79 @@ class TestMultiProcessDistributed:
         # And non-trivial.
         assert results[0][1] != 0.0
         assert results[0][2] != 0.0
+
+
+class TestStreamedPlacement:
+    """Chunked-VJP placement step vs the unstreamed one (city-scale path)."""
+
+    def test_streamed_gradient_matches_unstreamed(self, scene: Scene) -> None:
+        from differt_tpu.coverage import power_map
+        from differt_tpu.geometry import generate_path_candidates
+        from differt_tpu.parallel import streamed_placement_step
+        import differt_tpu.treekit as tk
+
+        mesh = make_device_mesh()
+        tx0 = scene.transmitters.reshape(-1, 3)
+        eta0 = jnp.array([5.24])
+        cond = jnp.array([0.1])
+        candidates = generate_path_candidates(
+            int(scene.mesh.num_primitives), 1
+        )
+        if scene.mesh.assume_quads:
+            candidates = 2 * candidates
+
+        new_tx, new_eta, loss = streamed_placement_step(
+            scene,
+            FREQUENCY,
+            mesh,
+            tx=tx0,
+            eta_r=eta0,
+            conductivity=cond,
+            path_candidates=candidates,
+            candidate_chunk=2,  # Force several chunks along BOTH axes.
+            rx_chunk=8,
+            tx_learning_rate=1.0,
+            eta_learning_rate=1.0,
+        )
+        assert jnp.isfinite(loss)
+        g_tx = tx0 - new_tx
+        g_eta = eta0 - new_eta
+
+        def loss_fn(params):
+            s = tk.tree_at(lambda sc: sc.transmitters, scene, params["tx"])
+            p = power_map(
+                s, FREQUENCY, order=1, eta_r=params["eta_r"], conductivity=cond
+            )
+            return -jnp.mean(10.0 * jnp.log10(jnp.maximum(p, 1e-30)))
+
+        ref_loss = loss_fn({"tx": tx0, "eta_r": eta0})
+        chex.assert_trees_all_close(loss, ref_loss, rtol=1e-5)
+        g = jax.grad(loss_fn)({"tx": tx0, "eta_r": eta0})
+        assert jnp.any(g["tx"] != 0.0)
+        # Chunked-vs-single-tile streaming agrees to ~1e-7; the remaining
+        # few-1e-4 relative difference vs the direct oracle is float32
+        # accumulation order (streamed sums in a different order).
+        chex.assert_trees_all_close(g_tx, g["tx"], rtol=2e-3, atol=1e-2)
+        chex.assert_trees_all_close(g_eta, g["eta_r"], rtol=2e-3, atol=1e-6)
+
+    def test_streamed_step_without_device_mesh(self, scene: Scene) -> None:
+        from differt_tpu.geometry import generate_path_candidates
+        from differt_tpu.parallel import streamed_placement_step
+
+        tx0 = scene.transmitters.reshape(-1, 3)
+        candidates = generate_path_candidates(
+            int(scene.mesh.num_primitives), 1
+        )
+        new_tx, new_eta, loss = streamed_placement_step(
+            scene,
+            FREQUENCY,
+            None,
+            tx=tx0,
+            eta_r=jnp.array([5.24]),
+            conductivity=jnp.array([0.1]),
+            path_candidates=candidates,
+            candidate_chunk=3,
+            rx_chunk=16,
+        )
+        assert jnp.isfinite(loss)
+        assert bool(jnp.any(new_tx != tx0))
