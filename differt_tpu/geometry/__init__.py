@@ -13,7 +13,14 @@ from ._candidates import (
 )
 from ._lattice import fibonacci_lattice, viewing_frustum
 from ._mesh import Mesh
-from ._paths import LaunchedPaths, Paths, SBRPaths, TracedPaths, merge_cell_ids
+from ._paths import (
+    LaunchedPaths,
+    Paths,
+    SBRPaths,
+    TracedPaths,
+    concatenate_paths,
+    merge_cell_ids,
+)
 from ._scene import Scene, TriangleScene
 from ._vectors import (
     assemble_path,
@@ -47,6 +54,7 @@ __all__ = [
     "generate_all_path_candidates_chunks_iter",
     "generate_all_path_candidates_iter",
     "generate_path_candidates",
+    "concatenate_paths",
     "merge_cell_ids",
     "min_distance_between_cells",
     "normalize",

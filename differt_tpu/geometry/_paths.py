@@ -301,6 +301,57 @@ class TracedPaths(eqx.Module):
             contributions = contributions * self.mask
         return jnp.sum(contributions, axis=axis)
 
+    def pad_order(self, target_order: int) -> "TracedPaths":
+        """Pad every path to ``target_order`` interactions.
+
+        The extra interaction points are placed collinearly ALONG the final
+        segment (between the last real interaction and the RX vertex), so no
+        segment degenerates to zero length: total path length, delay, and
+        every departure/arrival/reflection frame are unchanged. Padded slots
+        carry object index -1 and interaction type -1, which the EM pipeline
+        treats as pass-through no-ops. This is the ragged-to-static bridge
+        that lets multi-order traces share one container on TPU.
+
+        Raises:
+            ValueError: If ``target_order`` is below the current order.
+        """
+        extra = target_order - self.order
+        if extra < 0:
+            msg = (
+                f"Cannot pad order-{self.order} paths down to order "
+                f"{target_order}."
+            )
+            raise ValueError(msg)
+        if extra == 0:
+            return self
+        v = self.vertices
+        seg_start = v[..., -2:-1, :]
+        seg_end = v[..., -1:, :]
+        fractions = (
+            jnp.arange(1, extra + 1, dtype=v.dtype) / (extra + 1)
+        ).reshape(*([1] * (v.ndim - 2)), extra, 1)
+        interior = seg_start + (seg_end - seg_start) * fractions
+        vertices = jnp.concatenate((v[..., :-1, :], interior, seg_end), axis=-2)
+        obj_pad = jnp.full(
+            (*self.objects.shape[:-1], extra), -1, self.objects.dtype
+        )
+        objects = jnp.concatenate(
+            (self.objects[..., :-1], obj_pad, self.objects[..., -1:]), axis=-1
+        )
+        it_pad = jnp.full(
+            (*self.interaction_types.shape[:-1], extra),
+            -1,
+            self.interaction_types.dtype,
+        )
+        interaction_types = jnp.concatenate(
+            (self.interaction_types, it_pad), axis=-1
+        )
+        return eqx.tree_at(
+            lambda p: (p.vertices, p.objects, p.interaction_types),
+            self,
+            (vertices, objects, interaction_types),
+        )
+
     def __iter__(self) -> Iterator["TracedPaths"]:
         """Iterate over individually-masked valid paths."""
         flat = self.masked()
@@ -319,6 +370,48 @@ class TracedPaths(eqx.Module):
         from ..plotting import draw_paths
 
         return draw_paths(self.masked_vertices, **kwargs)
+
+
+def concatenate_paths(batches: Sequence[TracedPaths]) -> TracedPaths:
+    """Join path batches along the candidate (last batch) axis.
+
+    Batches of different orders are first padded to the highest order via
+    :meth:`TracedPaths.pad_order`, so e.g. a multi-order trace merges into
+    ONE static-shape container — the TPU answer to the reference's
+    one-``TracedPaths``-per-order iterator (its solvers raise on multi-order
+    input, reference _scene.py:704-708). All other batch axes must agree.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.geometry import TracedPaths, concatenate_paths
+        >>> def batch(order, n):
+        ...     return TracedPaths(
+        ...         vertices=jnp.zeros((n, order + 2, 3)),
+        ...         objects=jnp.zeros((n, order + 2), dtype=jnp.int32),
+        ...         mask=jnp.ones(n, dtype=bool),
+        ...         interaction_types=jnp.zeros((n, order), dtype=jnp.int32),
+        ...     )
+        >>> merged = concatenate_paths([batch(1, 4), batch(2, 6)])
+        >>> merged.shape, merged.order
+        ((10,), 2)
+    """
+    if not batches:
+        msg = "concatenate_paths needs at least one batch."
+        raise ValueError(msg)
+    target = max(b.order for b in batches)
+    padded = [b.pad_order(target) for b in batches]
+    first = padded[0]
+
+    def cat(name: str, trailing: int) -> Array:
+        arrays = [getattr(b, name) for b in padded]
+        return jnp.concatenate(arrays, axis=arrays[0].ndim - trailing - 1)
+
+    names = tuple(name for name, _ in TracedPaths._BATCH_AXES)
+    return eqx.tree_at(
+        lambda p: tuple(getattr(p, n) for n in names),
+        first,
+        tuple(cat(n, t) for n, t in TracedPaths._BATCH_AXES),
+    )
 
 
 class Paths(TracedPaths):

@@ -166,6 +166,7 @@ class Scene(eqx.Module):
         *,
         solver: "AbstractPathTracer | Literal['exhaustive', 'hybrid']" = "exhaustive",
         path_candidates: Int[ArrayLike, "num_path_candidates order"] | None = None,
+        merge_orders: bool = False,
         **solver_kwargs: Any,
     ) -> "TracedPaths | SizedIterator[TracedPaths] | Iterator[TracedPaths]":
         """Trace exact paths between all TX/RX pairs.
@@ -177,6 +178,10 @@ class Scene(eqx.Module):
         A sequence of orders yields one :class:`TracedPaths` per order (the
         reference raises ``NotImplementedError`` for this, _scene.py:704-708);
         the result plugs into :func:`differt_tpu.plugins.deepmimo.export`.
+        With ``merge_orders=True``, the per-order batches are instead padded
+        to the highest order and merged into ONE static-shape
+        :class:`TracedPaths` (:func:`differt_tpu.geometry.concatenate_paths`)
+        — each order still compiles its own fixed-width trace program.
         """
         from ..rt._solvers import (
             ExhaustivePathTracer,
@@ -193,7 +198,7 @@ class Scene(eqx.Module):
 
         if order is not None and not isinstance(order, int):
             # A sequence of orders fans out into one traced batch per order.
-            from ._paths import TracedPaths
+            from ._paths import TracedPaths, concatenate_paths
 
             orders = list(order)
 
@@ -205,6 +210,8 @@ class Scene(eqx.Module):
                     else:
                         yield from result
 
+            if merge_orders:
+                return concatenate_paths(list(per_order()))
             chunked = solver_kwargs.get("chunk_size") or getattr(
                 solver, "chunk_size", None
             )

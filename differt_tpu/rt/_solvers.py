@@ -599,8 +599,15 @@ class ExhaustivePathTracer(AbstractPathTracer):
     ) -> tuple[Array, Array]:
         del specular_reflection, diffuse_scattering
         if isinstance(order, Sequence):
-            msg = "ExhaustivePathTracer does not support multiple orders yet."
-            raise NotImplementedError(msg)
+            # Multi-order: a static tuple pytree, one array per order.
+            # Every order keeps its own compiled width (no ragged shapes in
+            # the trace); trace_path_candidates merges the results into one
+            # container. The reference raises here (_scene.py:704-708).
+            per_order = [self.generate_path_candidates(scene, o) for o in order]
+            return (
+                tuple(c for c, _ in per_order),
+                tuple(t for _, t in per_order),
+            )
 
         num_primitives = scene.mesh.num_primitives
 
@@ -648,8 +655,26 @@ class ExhaustivePathTracer(AbstractPathTracer):
             )
             return SizedIterator(iter([(candidates, interactions)]), size=1)
         if isinstance(order, Sequence):
-            msg = "ExhaustivePathTracer does not support multiple orders yet."
-            raise NotImplementedError(msg)
+            # One unified chunked enumeration across all orders: chain the
+            # per-order chunk iterators into a single sized stream.
+            iters = [
+                self.generate_path_candidates_chunks_iter(
+                    scene,
+                    o,
+                    *args,
+                    chunk_size=effective,
+                    pad_chunks=pad_chunks,
+                    **kwargs,
+                )
+                for o in order
+            ]
+            total_chunks = sum(len(it) for it in iters)
+
+            def chained() -> Iterator[tuple[Array, Array]]:
+                for it in iters:
+                    yield from it
+
+            return SizedIterator(chained(), size=total_chunks)
 
         num_primitives = scene.mesh.num_primitives
         total = count_path_candidates(num_primitives, order)
@@ -679,6 +704,15 @@ class ExhaustivePathTracer(AbstractPathTracer):
         path_candidates: Int[Array, "num_candidates order"],
         interaction_types: Int[Array, "num_candidates order"],
     ) -> TracedPaths:
+        if isinstance(path_candidates, tuple):
+            # Multi-order tuple pytree: one static-width trace per order,
+            # merged into a single padded container.
+            from ..geometry._paths import concatenate_paths
+
+            return concatenate_paths([
+                self.trace_path_candidates(scene, c, t)
+                for c, t in zip(path_candidates, interaction_types, strict=True)
+            ])
         return trace_path_candidates(
             scene.mesh,
             scene.transmitters.reshape(-1, 3),
@@ -756,8 +790,14 @@ class HybridPathTracer(AbstractPathTracer):
     ) -> tuple[Array, Array]:
         del specular_reflection, diffuse_scattering
         if isinstance(order, Sequence):
-            msg = "HybridPathTracer does not support multiple orders yet."
-            raise NotImplementedError(msg)
+            # Multi-order: one static per-order tuple pytree (see
+            # ExhaustivePathTracer.generate_path_candidates). Visibility
+            # pruning runs once per order on the shared masks.
+            per_order = [self.generate_path_candidates(scene, o) for o in order]
+            return (
+                tuple(c for c, _ in per_order),
+                tuple(t for _, t in per_order),
+            )
 
         visible_tx, visible_rx, mask = self._visibility(scene)
         num_primitives = scene.mesh.num_primitives
@@ -808,6 +848,13 @@ class HybridPathTracer(AbstractPathTracer):
         path_candidates: Int[Array, "num_candidates order"],
         interaction_types: Int[Array, "num_candidates order"],
     ) -> TracedPaths:
+        if isinstance(path_candidates, tuple):
+            from ..geometry._paths import concatenate_paths
+
+            return concatenate_paths([
+                self.trace_path_candidates(scene, c, t)
+                for c, t in zip(path_candidates, interaction_types, strict=True)
+            ])
         return trace_path_candidates(
             scene.mesh,
             scene.transmitters.reshape(-1, 3),

@@ -152,3 +152,105 @@ class TestLaunchedPaths:
         paths = self.make().reshape(2, 2)
         assert paths.shape == (2, 2)
         assert paths.masks.shape == (2, 2, 3)
+
+
+class TestMultiOrderMerge:
+    def _scene(self):
+        from differt_tpu.geometry import Mesh, Scene
+
+        mesh = Mesh.box(length=10.0, width=4.0, height=3.0, with_top=True)
+        mesh = mesh.set_materials("Concrete")
+        return Scene(
+            transmitters=jnp.array([[-4.0, 0.0, 0.0]]),
+            receivers=jnp.array([[4.0, 0.5, 0.2], [3.0, -1.0, 0.4]]),
+            mesh=mesh,
+        )
+
+    def test_pad_order_preserves_geometry(self) -> None:
+        scene = self._scene()
+        paths = scene.trace_paths(order=1)
+        padded = paths.pad_order(3)
+        assert padded.order == 3
+        assert padded.shape == paths.shape
+        # Zero-length padded segments: total path length is unchanged.
+        def total_len(p):
+            return jnp.linalg.norm(
+                jnp.diff(p.vertices, axis=-2), axis=-1
+            ).sum(-1)
+        chex.assert_trees_all_close(
+            total_len(padded), total_len(paths), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(padded.mask), np.asarray(paths.mask)
+        )
+        assert np.all(np.asarray(padded.interaction_types[..., 1:]) == -1)
+        assert np.all(np.asarray(padded.objects[..., 2:-1]) == -1)
+
+    def test_concatenate_paths_merges_orders(self) -> None:
+        from differt_tpu.geometry import concatenate_paths
+
+        scene = self._scene()
+        p1 = scene.trace_paths(order=1)
+        p2 = scene.trace_paths(order=2)
+        merged = concatenate_paths([p1, p2])
+        assert merged.order == 2
+        n1 = p1.vertices.shape[-3]
+        n2 = p2.vertices.shape[-3]
+        assert merged.vertices.shape[-3] == n1 + n2
+        assert int(merged.num_valid_paths) == int(p1.num_valid_paths) + int(
+            p2.num_valid_paths
+        )
+
+    def test_merged_power_equals_joint_coherent_sum(self) -> None:
+        """Padded bounces must be exact EM no-ops: the merged container's
+        coherent power equals the power of the union computed per order."""
+        from differt_tpu.coverage import complex_amplitudes
+        from differt_tpu.em import z_0
+
+        scene = self._scene()
+        eta = jnp.array([5.24])
+        sigma = jnp.array([0.1])
+
+        def amp(paths):
+            return complex_amplitudes(
+                paths.reshape(1, 2, -1), scene, 2.4e9, eta_r=eta,
+                conductivity=sigma,
+            )
+
+        p1 = scene.trace_paths(order=1)
+        p2 = scene.trace_paths(order=2)
+        merged = scene.trace_paths(order=[1, 2], merge_orders=True)
+        power_merged = jnp.abs(amp(merged).sum(-1)) ** 2 / z_0
+        power_joint = (
+            jnp.abs(amp(p1).sum(-1) + amp(p2).sum(-1)) ** 2 / z_0
+        )
+        chex.assert_trees_all_close(power_merged, power_joint, rtol=1e-4)
+
+    def test_solver_level_multi_order(self) -> None:
+        from differt_tpu.rt import ExhaustivePathTracer
+
+        scene = self._scene()
+        tracer = ExhaustivePathTracer()
+        cands, types = tracer.generate_path_candidates(scene, [0, 1, 2])
+        assert isinstance(cands, tuple) and len(cands) == 3
+        merged = tracer.trace_path_candidates(scene, cands, types)
+        direct = scene.trace_paths(order=[0, 1, 2], merge_orders=True)
+        assert merged.order == direct.order == 2
+        np.testing.assert_array_equal(
+            np.asarray(merged.mask).sum(), np.asarray(direct.mask).sum()
+        )
+
+    def test_unified_chunks_iter_covers_all_orders(self) -> None:
+        from differt_tpu.rt import ExhaustivePathTracer
+
+        scene = self._scene()
+        tracer = ExhaustivePathTracer()
+        chunks = tracer.generate_path_candidates_chunks_iter(
+            scene, [1, 2], chunk_size=7
+        )
+        seen = {1: 0, 2: 0}
+        for cands, _types in chunks:
+            seen[cands.shape[1]] += cands.shape[0]
+        n = int(scene.mesh.num_primitives)
+        assert seen[1] == n
+        assert seen[2] == n * (n - 1)
