@@ -194,7 +194,12 @@ def diffraction_coefficients(
         # Signed distance of arg from the nearest multiple of pi.
         x = arg - jnp.pi * jnp.round(arg / jnp.pi)
         eps_m = two_n * x
-        singular = jnp.abs(eps_m) < 0.05
+        # The eq. 6.32 limit is first order in eps; at |eps| ~ 0.05 its
+        # truncation error reaches ~1 dB against the exact wedge series
+        # (tests/test_em_published.py), while the direct cot*F product is
+        # numerically stable down to |eps| ~ 1e-4 even in float32. Keep the
+        # guarded window just wide enough to cover the indeterminate core.
+        singular = jnp.abs(eps_m) < 0.005
 
         kl = k * length
         a = _a_plus_minus(phi, n, mode)  # type: ignore[arg-type]
