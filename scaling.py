@@ -25,99 +25,171 @@ if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-def run_config5(out: str | None) -> dict:
-    """BASELINE config 5 at spec scale on the available device(s).
+BRUXELLES = "/root/reference/docs/source/notebooks/bruxelles.obj"
 
-    16 TX x 1M RX (1024 x 1024 grid), order-3 reflections on the street
-    canyon, with the candidate axis streamed as a decoded shard (the full
-    order-3 space is 16 250 candidates; a 256-candidate shard is one
-    slice of the same closed-form index decode every chip uses — the
-    workload per (tx, rx, candidate) is identical). Also times ONE
-    TX-placement + permittivity gradient step (sharded over all devices)
-    at a reduced RX grid. Timed runs follow a warmup call so compilation
-    is excluded from the reported throughput.
+
+def _city_scene(num_tx: int, grid: int):
+    """Bruxelles (14.2k triangles) with a TX grid and a city-wide RX grid."""
+    import pathlib
+
+    import differt_tpu.treekit as tk
+    from differt_tpu.geometry import Scene
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if pathlib.Path(BRUXELLES).is_file():
+            from differt_tpu.io import load_obj
+
+            mesh = load_obj(BRUXELLES)
+        else:  # fallback when the reference assets are absent
+            from differt_tpu.scenes import urban_scene
+
+            mesh = urban_scene(24, 24).mesh
+    device = jax.devices()[0]
+    mesh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, device) if isinstance(x, jax.Array) else x,
+        mesh,
+    )
+    (min_x, min_y, _), (max_x, max_y, _) = mesh.bounding_box
+    side = int(num_tx**0.5)
+    assert side * side == num_tx, "num_tx must be a square"
+    margin_x = 0.15 * (max_x - min_x)
+    margin_y = 0.15 * (max_y - min_y)
+    gx, gy = jnp.meshgrid(
+        jnp.linspace(min_x + margin_x, max_x - margin_x, side),
+        jnp.linspace(min_y + margin_y, max_y - margin_y, side),
+    )
+    tx = jnp.stack((gx, gy, jnp.full_like(gx, 60.0)), axis=-1).reshape(-1, 3)
+    scene = Scene(mesh=mesh)
+    scene = tk.tree_at(lambda s: s.transmitters, scene, tx)
+    return scene.with_receivers_grid(grid, grid, height=1.5)
+
+
+def _strided_candidates(num_primitives: int, order: int, size: int):
+    """``size`` candidates sampled uniformly across the whole space.
+
+    The first ``size`` candidates of the closed-form decode all share the
+    same leading primitive (an arbitrary triangle), which at city scale
+    yields almost no geometrically valid paths — fine for pure throughput,
+    useless for a gradient. Striding the decode start across the full
+    space samples varied geometry instead.
+    """
+    from differt_tpu.geometry import (
+        count_path_candidates,
+        generate_path_candidates,
+    )
+
+    total = count_path_candidates(num_primitives, order)
+    group = 8
+    num_groups = max(size // group, 1)
+    step = max(total // num_groups, 1)
+    parts = [
+        generate_path_candidates(
+            num_primitives,
+            order,
+            start=min(g * step, total - group),
+            size=group,
+        )
+        for g in range(num_groups)
+    ]
+    return jnp.concatenate(parts, axis=0)[:size]
+
+
+def run_config5(
+    out: str | None,
+    *,
+    num_tx: int = 16,
+    grid: int = 1024,
+    shard: int = 128,
+    grad_shard: int | None = None,
+    rx_chunk: int = 8192,
+) -> dict:
+    """BASELINE config 5 at city scale on the available device(s).
+
+    16 TX x 1M RX (1024 x 1024 grid) on the bruxelles city mesh (14.2k
+    triangles), order-2 reflections, with the candidate axis streamed as a
+    decoded shard (the full order-2 space is ~2e8 candidates; a shard is
+    one slice of the same closed-form index decode every chip uses — the
+    per-(tx, rx, candidate) workload is identical). Then ONE TX-placement +
+    permittivity gradient step, streamed over the SAME full RX grid via
+    chunked VJP accumulation (parallel.streamed_placement_step) — no
+    reduced-grid stand-in anywhere. Timed runs follow a warmup call so
+    compilation is excluded.
     """
     import time
 
-    import differt_tpu.treekit as tk
     from differt_tpu.coverage import power_map_chunked
-    from differt_tpu.geometry import generate_path_candidates
-    from differt_tpu.parallel import make_device_mesh, placement_training_step
-    from differt_tpu.scenes import street_canyon_scene
+    from differt_tpu.parallel import make_device_mesh, streamed_placement_step
 
-    # shard=256 keeps the per-chunk path-vertex buffer
-    # [16 tx, 256 cand, 16 rows, 8192 rx] around 2 GB on a 16 GB chip.
-    num_tx, grid = 16, 1024
-    order, shard = 3, 256
-    scene = street_canyon_scene()
-    xs = jnp.linspace(-35.0, 35.0, 4)
-    ys = jnp.linspace(-6.0, 6.0, 4)
-    tx = jnp.stack(
-        jnp.meshgrid(xs, ys, indexing="ij"), axis=-1
-    ).reshape(-1, 2)
-    tx = jnp.concatenate((tx, jnp.full((num_tx, 1), 15.0)), axis=-1)
-    scene = tk.tree_at(lambda s: s.transmitters, scene, tx)
-    scene = scene.with_receivers_grid(grid, grid, height=1.5)
+    order = 2
+    scene = _city_scene(num_tx, grid)
+    tx = scene.transmitters.reshape(-1, 3)
+    num_triangles = int(scene.mesh.num_triangles)
+    candidates = _strided_candidates(num_triangles, order, shard)
+    eta = jnp.array([5.24])
+    sigma = jnp.array([0.12])
 
-    candidates = generate_path_candidates(
-        scene.mesh.num_primitives, order, size=shard
-    )
-
-    def run():
+    def run(freq):
         out = power_map_chunked(
             scene,
-            2.4e9,
-            order=order,
+            freq,
             path_candidates=candidates,
-            eta_r=jnp.array([5.24]),
-            conductivity=jnp.array([0.1]),
+            eta_r=eta,
+            conductivity=sigma,
             candidate_chunk=shard,
-            rx_chunk=8192,
+            rx_chunk=rx_chunk,
         )
         return float(jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0)))
 
-    run()  # Warmup: compile everything outside the timed run.
+    run(2.4e9)  # Warmup: compile everything outside the timed run.
     start = time.perf_counter()
-    run()
+    run(2.4e9 + 1e3)  # Distinct input so nothing is cached.
     elapsed = time.perf_counter() - start
     paths = num_tx * grid * grid * shard
 
-    # One sharded TX-placement + permittivity gradient step.
+    # One full-grid TX-placement + permittivity gradient step (streamed).
+    # Order 1 with a city-wide strided shard: one-bounce reflections off
+    # sampled walls give the loss real power over much of the grid, so the
+    # TX gradient is a genuine coverage signal (order-2-only shards yield
+    # almost no valid paths, hence a zero gradient).
     mesh = make_device_mesh()
-    small = tk.tree_at(lambda s: s.transmitters, scene, tx)
-    small = small.with_receivers_grid(128, 128, height=1.5)
-    eta = jnp.array([5.24])
+    grad_shard = shard if grad_shard is None else grad_shard
+    grad_candidates = _strided_candidates(num_triangles, 1, grad_shard)
 
-    def grad_step():
-        return placement_training_step(
-            small,
-            2.4e9,
-            mesh,
-            order=1,
+    def grad_step(freq):
+        return streamed_placement_step(
+            scene,
+            freq,
+            mesh if mesh.devices.size > 1 else None,
             tx=tx,
             eta_r=eta,
-            conductivity=jnp.array([0.1]),
+            conductivity=sigma,
+            path_candidates=grad_candidates,
+            candidate_chunk=grad_shard,
+            rx_chunk=rx_chunk,
+            # Unit learning rates: the harness reports the raw gradient
+            # (update = gradient), dodging float32 "x + tiny == x" underflow
+            # in the moved-or-not check.
+            tx_learning_rate=1.0,
+            eta_learning_rate=1.0,
         )
 
-    out_warm = grad_step()  # Warmup: compile outside the timed step.
-    jax.block_until_ready(out_warm[0])
-    float(jnp.sum(out_warm[0]))
+    warm = grad_step(2.4e9)  # Warmup: compile outside the timed step.
+    jax.block_until_ready(warm[0])
+    float(jnp.sum(warm[0]))
     start = time.perf_counter()
-    new_tx, new_eta, loss = placement_training_step(
-        small,
-        2.4e9,
-        mesh,
-        order=1,
-        tx=tx,
-        eta_r=eta,
-        conductivity=jnp.array([0.1]),
-    )
+    new_tx, new_eta, loss = grad_step(2.4e9 + 1e3)
     jax.block_until_ready(new_tx)
     float(jnp.sum(new_tx))
     grad_elapsed = time.perf_counter() - start
+    grad_paths = num_tx * grid * grid * grad_shard
 
     result = {
         "config5": {
+            "scene": __import__("pathlib").Path(BRUXELLES).name
+            if __import__("pathlib").Path(BRUXELLES).is_file()
+            else "urban_scene(24,24)",
+            "num_triangles": num_triangles,
             "num_tx": num_tx,
             "num_rx": grid * grid,
             "order": order,
@@ -127,9 +199,22 @@ def run_config5(out: str | None) -> dict:
             "paths_per_s": round(paths / elapsed, 1),
             "backend": jax.default_backend(),
             "num_devices": len(jax.devices()),
-            "tx_grad_step_s_128x128": round(grad_elapsed, 2),
-            "tx_moved": bool(jnp.any(new_tx != tx)),
-            "loss": float(loss),
+            "grad_step": {
+                "order": 1,
+                "candidate_shard": grad_shard,
+                "num_rx": grid * grid,
+                "elapsed_s": round(grad_elapsed, 2),
+                "fwd_bwd_paths_per_s": round(grad_paths / grad_elapsed, 1),
+                "tx_grad_norm": float(
+                    jnp.linalg.norm(jax.device_get(new_tx) - jax.device_get(tx))
+                ),
+                "eta_grad_norm": float(
+                    jnp.linalg.norm(
+                        jax.device_get(new_eta) - jax.device_get(eta)
+                    )
+                ),
+                "loss": float(loss),
+            },
         }
     }
     print(json.dumps(result))
@@ -156,8 +241,13 @@ def main() -> None:
     parser.add_argument(
         "--config5",
         action="store_true",
-        help="Run BASELINE config 5 (16 TX x 1M RX, order 3) instead.",
+        help="Run BASELINE config 5 (16 TX x 1M RX city scale) instead.",
     )
+    parser.add_argument("--num-tx", type=int, default=16)
+    parser.add_argument("--grid5", type=int, default=1024)
+    parser.add_argument("--shard", type=int, default=128)
+    parser.add_argument("--grad-shard", type=int, default=None)
+    parser.add_argument("--rx-chunk", type=int, default=8192)
     parser.add_argument(
         "--distributed",
         action="store_true",
@@ -169,7 +259,14 @@ def main() -> None:
         jax.distributed.initialize()
 
     if args.config5:
-        run_config5(args.out)
+        run_config5(
+            args.out,
+            num_tx=args.num_tx,
+            grid=args.grid5,
+            shard=args.shard,
+            grad_shard=args.grad_shard,
+            rx_chunk=args.rx_chunk,
+        )
         return
 
     import differt_tpu.treekit as tk
