@@ -6,10 +6,12 @@ functions; this file does the same for the remaining solver families:
 
 - ``SBRPathLauncher.launch_paths``: the reference's launch/bounce/filter
   scan (differt/geometry/_solvers.py:250-491) is re-expressed here from
-  its spec using the reference's free functions
-  (``first_triangle_hit_by_ray``, ``viewing_frustum``,
+  its spec using the reference's free functions (``viewing_frustum``,
   ``fibonacci_lattice``, ``assemble_path``) and compared against our
-  launcher on identical ray sets.
+  launcher on identical ray sets. The closest-hit query is shared with
+  the launcher under test (it has its own exact oracle in
+  test_kernels_vs_reference.py), which removes bounce-chain chaos and
+  makes this comparison exact on every ray.
 - ``HybridPathTracer.generate_path_candidates``: the reference prunes the
   complete graph through a Rust ``DiGraph`` (insert_from_and_to_nodes +
   filter_by_mask + DFS, graph.rs:636-910, 1026-1147). That is not
@@ -76,7 +78,6 @@ def _ref_launch_paths_impl(ref, scene, origins, directions, max_dist, *, order):
     gu = ref["geometry_utils"]
     tx = scene.transmitters.reshape(-1, 3)
     rx = scene.receivers.reshape(-1, 3)
-    mesh_tv = scene.mesh.triangle_vertices
     normals = scene.mesh.normals
     num_tx, num_rays = origins.shape[:2]
     num_rx = rx.shape[0]
@@ -84,8 +85,15 @@ def _ref_launch_paths_impl(ref, scene, origins, directions, max_dist, *, order):
     valid = jnp.ones((num_tx, num_rays), dtype=bool)
     tri_steps, vert_steps, mask_steps = [], [], []
     for _ in range(order + 1):
-        triangles, t_hit = gu.first_triangle_hit_by_ray(
-            origins, directions, mesh_tv
+        # Shared closest hit: the oracle drives its bounce chain through
+        # the SAME hit function as the launcher under test. The hit kernel
+        # itself is exactly oracled against the reference in
+        # test_kernels_vs_reference.py; sharing it here removes the one
+        # chaotic input (ulp-shifted hit distances flipping grazing-ray
+        # chains) so the launcher's scan/filter/assembly semantics can be
+        # compared EXACTLY instead of statistically.
+        triangles, t_hit = scene.mesh.first_triangle_hit_by_ray(
+            origins, directions
         )
 
         # filter_rays: perpendicular ray-to-RX distance within the segment.
@@ -191,30 +199,23 @@ def test_sbr_launch_paths_match_reference(ref, scene, order):
         ref, scene, origins, directions, order, max_dist
     )
 
-    # Bouncing is chaotic: lax.scan's fused arithmetic vs the unrolled
-    # oracle loop drifts reflected directions by ulps, and a grazing ray
-    # may then hit a different triangle, after which its chain diverges
-    # entirely (measured: 0% of rays at order 1, 0.8% at order 3). The
-    # comparison is therefore exact on the (overwhelming) agreeing set and
-    # bounds the disagreeing fraction.
+    # The oracle bounces through the SAME compiled closest-hit as the
+    # launcher (see _ref_launch_paths_impl), so the chain comparison is
+    # exact — every ray, every bounce, no statistical escape hatch.
     obj_ours = np.asarray(ours.objects)
     obj_ref = np.asarray(ref_objects)
     same_chain = (obj_ours == obj_ref).all(axis=-1)
-    assert same_chain.mean() > 0.99, (
+    assert same_chain.all(), (
         f"object chains diverge on {1 - same_chain.mean():.2%} of rays"
     )
 
-    sel = same_chain
     np.testing.assert_allclose(
-        np.asarray(ours.vertices)[sel], np.asarray(ref_vertices)[sel], atol=1e-5
+        np.asarray(ours.vertices), np.asarray(ref_vertices), atol=1e-5
     )
-    masks_ours = np.asarray(ours.masks)[sel]
-    masks_ref = np.asarray(ref_masks)[sel]
-    mismatch = (masks_ours != masks_ref).mean()
-    # Residual flips on agreeing chains are borderline `dist < max_dist`
-    # captures at ulp-shifted bounce points (measured: 1 bit in 24 576).
-    assert mismatch <= 1e-3, f"SBR masks differ on {mismatch:.2%} of entries"
-    assert masks_ref.any(), "oracle must exercise captures"
+    np.testing.assert_array_equal(
+        np.asarray(ours.masks), np.asarray(ref_masks)
+    )
+    assert np.asarray(ref_masks).any(), "oracle must exercise captures"
 
 
 # ---------------------------------------------------------------------------
