@@ -165,6 +165,16 @@ class Dipole(Antenna):
     (Jackson eq. 9.18) ``1/r^3 - jk/r^2``; we reproduce that convention for
     allclose parity (the far field, which dominates every propagation
     metric, is the textbook expression either way).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.em import Dipole
+        >>> antenna = Dipole(frequency=1e9)
+        >>> float(antenna.directive_gain())  # Ideal dipole: exactly 1.5.
+        1.5
+        >>> e, b = antenna.fields(jnp.array([100.0, 0.0, 0.0]))
+        >>> e.shape, b.shape
+        ((3,), (3,))
     """
 
     length: Float[Array, ""]

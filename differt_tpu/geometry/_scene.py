@@ -49,7 +49,26 @@ def _resolve_solver(solver, shortcuts: dict, options: dict):
 
 
 class Scene(eqx.Module):
-    """A scene made of a triangle mesh, transmitters, and receivers."""
+    """A scene made of a triangle mesh, transmitters, and receivers.
+
+    Examples:
+        Trace the single ground bounce inside an open box:
+
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.geometry import Mesh, Scene
+        >>> scene = Scene(
+        ...     transmitters=jnp.array([[-2.0, 0.0, 1.0]]),
+        ...     receivers=jnp.array([[2.0, 0.0, 1.0]]),
+        ...     mesh=Mesh.plane(jnp.zeros(3), normal=jnp.array([0.0, 0.0, 1.0]), side_length=10.0),
+        ... )
+        >>> paths = scene.trace_paths(order=1)
+        >>> paths.shape  # [num_tx, num_rx, num_candidates]
+        (1, 1, 2)
+        >>> int(paths.num_valid_paths)  # bounce on the diagonal: in both
+        2
+        >>> [round(v, 3) + 0.0 for v in paths.masked_vertices[0, 1].tolist()]
+        [0.0, 0.0, 0.0]
+    """
 
     transmitters: Float[Array, "*transmitters_batch 3"] = eqx.field(
         default_factory=lambda: jnp.empty((0, 3))

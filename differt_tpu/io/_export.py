@@ -20,7 +20,20 @@ from ._xml import _ITU_COLORS
 
 
 def save_ply(mesh, file: str | PathLike[str]) -> None:
-    """Write a :class:`Mesh` as a binary little-endian Stanford PLY file."""
+    """Write a :class:`Mesh` as a binary little-endian Stanford PLY file.
+
+    Examples:
+        Round-trip a box through PLY:
+
+        >>> import os, tempfile
+        >>> from differt_tpu.geometry import Mesh
+        >>> from differt_tpu.io import load_ply, save_ply
+        >>> mesh = Mesh.box(2.0, 1.0, 1.0)
+        >>> path = os.path.join(tempfile.mkdtemp(), "box.ply")
+        >>> save_ply(mesh, path)
+        >>> int(load_ply(path).num_triangles) == int(mesh.num_triangles)
+        True
+    """
     vertices = np.asarray(mesh.vertices, dtype=np.float32)
     triangles = np.asarray(mesh.triangles, dtype=np.int32)
     path = Path(file)

@@ -33,7 +33,15 @@ _BACKEND: str = "auto"
 
 
 def set_backend(backend: str) -> None:
-    """Set the global ray-casting backend: 'auto', 'pallas', or 'jax'."""
+    """Set the global ray-casting backend: 'auto', 'pallas', or 'jax'.
+
+    Examples:
+        >>> from differt_tpu.ops import get_backend, set_backend
+        >>> set_backend("jax")
+        >>> get_backend()
+        'jax'
+        >>> set_backend("auto")  # 'pallas' on TPU, 'jax' elsewhere
+    """
     if backend not in ("auto", "pallas", "jax"):
         msg = f"Unknown backend {backend!r}, expected 'auto', 'pallas', or 'jax'."
         raise ValueError(msg)

@@ -19,7 +19,16 @@ def make_device_mesh(
     axis_name: str = "rx",
     devices: Sequence[jax.Device] | None = None,
 ) -> Mesh:
-    """A 1-D device mesh over the first ``num_devices`` devices."""
+    """A 1-D device mesh over the first ``num_devices`` devices.
+
+    Examples:
+        >>> from differt_tpu.parallel import make_device_mesh
+        >>> mesh = make_device_mesh(1)
+        >>> mesh.axis_names
+        ('rx',)
+        >>> mesh.devices.size
+        1
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:

@@ -78,7 +78,14 @@ def merged_kwargs(backend: str, kwargs: dict[str, Any]) -> dict[str, Any]:
 
 @contextlib.contextmanager
 def use(backend: str):
-    """Temporarily switch the default backend."""
+    """Temporarily switch the default backend.
+
+    Examples:
+        >>> from differt_tpu.plotting import get_backend, use
+        >>> with use("matplotlib"):
+        ...     get_backend()
+        'matplotlib'
+    """
     token = _CURRENT_BACKEND.set(get_backend(backend))
     try:
         yield

@@ -43,6 +43,13 @@ def timeit(
     """Time a nullary device function with warm-up and sync barriers.
 
     Returns min/mean/max wall-clock seconds over ``repeats`` runs.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.profiling import timeit
+        >>> stats = timeit(lambda: jnp.ones(8).sum(), repeats=2)
+        >>> sorted(stats)
+        ['max', 'mean', 'min', 'repeats']
     """
     for _ in range(warmup):
         synchronize(fn())

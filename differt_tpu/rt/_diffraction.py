@@ -39,6 +39,20 @@ def diffraction_point_on_edge(
 
     Returns the point and its parameter ``t`` in units of ``edge_vector``
     (so ``0 <= t <= 1`` means inside the finite segment).
+
+    Examples:
+        Symmetric endpoints diffract at the edge midpoint:
+
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.rt import diffraction_point_on_edge
+        >>> point, t = diffraction_point_on_edge(
+        ...     jnp.array([-1.0, -1.0, 0.0]),
+        ...     jnp.array([1.0, 1.0, 0.0]),
+        ...     jnp.array([-1.0, 1.0, 0.0]),
+        ...     jnp.array([2.0, -2.0, 0.0]),
+        ... )
+        >>> [round(v, 3) + 0.0 for v in point.tolist()], round(float(t), 3)
+        ([0.0, 0.0, 0.0], 0.5)
     """
     from_vertex = jnp.asarray(from_vertex)
     to_vertex = jnp.asarray(to_vertex)

@@ -244,6 +244,21 @@ def fermat_path_on_planar_mirrors(
     """Fermat variant of :func:`image_method` on planar mirrors.
 
     API parity: _solver_fermat.py:185-301.
+
+    Examples:
+        The minimal-length ground bounce between two symmetric points
+        reflects at the midpoint below them:
+
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.rt import fermat_path_on_planar_mirrors
+        >>> point = fermat_path_on_planar_mirrors(
+        ...     jnp.array([-1.0, 0.0, 1.0]),
+        ...     jnp.array([1.0, 0.0, 1.0]),
+        ...     jnp.array([[0.0, 0.0, 0.0]]),
+        ...     jnp.array([[0.0, 0.0, 1.0]]),
+        ... )
+        >>> bool(jnp.allclose(point[0], jnp.zeros(3), atol=1e-3))
+        True
     """
     mirror_normals = jnp.asarray(mirror_normals)
     d1, d2 = orthogonal_basis(mirror_normals)

@@ -86,6 +86,21 @@ def ray_intersect_any_triangle(
     A triangle counts as blocking when ``(t < 1 - hit_tol) & hit``. With
     ``smoothing_factor``, returns a clipped sum of per-triangle confidences.
     ``hit_tol`` defaults to ``100 * eps(dtype)``.
+
+    Examples:
+        A wall between two points blocks the segment; behind it, nothing:
+
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.rt import ray_intersect_any_triangle
+        >>> wall = jnp.array(
+        ...     [[[0.0, -9.0, -9.0], [0.0, 9.0, -9.0], [0.0, 0.0, 9.0]]]
+        ... )
+        >>> start = jnp.array([-1.0, 0.0, 0.0])
+        >>> end = jnp.array([2.0, 0.0, 0.0])
+        >>> bool(ray_intersect_any_triangle(start, end - start, wall))
+        True
+        >>> bool(ray_intersect_any_triangle(start, start - end, wall))
+        False
     """
     ray_origins = jnp.asarray(ray_origins)
     ray_directions = jnp.asarray(ray_directions)
@@ -158,6 +173,23 @@ def first_triangle_hit_by_ray(
     Returns ``(-1, inf)`` when nothing is hit. Within a tile, ties keep the
     lowest triangle index (argmin); across tiles, an equal-t hit in a later
     tile wins.
+
+    Examples:
+        Two parallel walls: the nearer one wins; looking away misses:
+
+        >>> import jax.numpy as jnp
+        >>> from differt_tpu.rt import first_triangle_hit_by_ray
+        >>> walls = jnp.array([
+        ...     [[1.0, -9.0, -9.0], [1.0, 9.0, -9.0], [1.0, 0.0, 9.0]],
+        ...     [[2.0, -9.0, -9.0], [2.0, 9.0, -9.0], [2.0, 0.0, 9.0]],
+        ... ])
+        >>> ray = jnp.array([1.0, 0.0, 0.0])
+        >>> index, t = first_triangle_hit_by_ray(jnp.zeros(3), ray, walls)
+        >>> int(index), float(t)
+        (0, 1.0)
+        >>> index, t = first_triangle_hit_by_ray(jnp.zeros(3), -ray, walls)
+        >>> int(index)
+        -1
     """
     ray_origins = jnp.asarray(ray_origins)
     ray_directions = jnp.asarray(ray_directions)

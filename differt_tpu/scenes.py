@@ -48,6 +48,14 @@ def street_canyon_scene(
     """A street canyon: two building rows facing each other plus ground.
 
     Stands in for the Sionna ``simple_street_canyon`` scene.
+
+    Examples:
+        >>> from differt_tpu.scenes import street_canyon_scene
+        >>> scene = street_canyon_scene()
+        >>> int(scene.mesh.num_triangles) > 0
+        True
+        >>> scene.mesh.material_names
+        ('Concrete',)
     """
     return _on_host(
         lambda: _street_canyon_scene(

@@ -22,8 +22,20 @@ MODULE_NAMES = [
     "differt_tpu.em._utils",
     "differt_tpu.em._utd",
     "differt_tpu.geometry._mesh",
+    "differt_tpu.geometry._paths",
+    "differt_tpu.geometry._scene",
     "differt_tpu.coverage",
     "differt_tpu.treekit",
+    "differt_tpu.scenes",
+    "differt_tpu.profiling",
+    "differt_tpu.rt._scan",
+    "differt_tpu.rt._fermat",
+    "differt_tpu.rt._diffraction",
+    "differt_tpu.em._antenna",
+    "differt_tpu.ops._dispatch",
+    "differt_tpu.parallel._sharding",
+    "differt_tpu.plotting._utils",
+    "differt_tpu.io._export",
 ]
 
 
