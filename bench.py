@@ -345,6 +345,41 @@ def bench_raycast() -> dict:
     }
 
 
+def bench_mxu() -> dict:
+    """Measure the Woop/MXU closest-hit prototype vs the Pallas VPU kernel.
+
+    Same workload as bench_raycast (2.3k-triangle urban scene, 1M
+    lattice rays). This settles the "~2x MXU headroom" question with a
+    number (docs/performance.md "MXU resolution")."""
+    from differt_tpu.ops._mxu_mt import mxu_first_triangle_hit_by_ray
+
+    scene = urban_scene(8, 8)
+    tv = scene.mesh.triangle_vertices
+    num_triangles = int(scene.mesh.num_triangles)
+    origins = jnp.broadcast_to(jnp.array([0.0, 0.0, 30.0]), (NUM_RAYS, 3))
+    directions = fibonacci_lattice(NUM_RAYS) * 500.0
+
+    def run_mxu(i):
+        return mxu_first_triangle_hit_by_ray(
+            origins + 1e-4 * i, directions, tv, ray_chunk=8192
+        )[1]
+
+    def run_pallas(i):
+        return pallas_first_triangle_hit_by_ray(
+            origins + 1e-4 * i, directions, tv
+        )[1]
+
+    best_mxu, _, _ = _steady_time(run_mxu)
+    best_pallas, _, _ = _steady_time(run_pallas)
+    return {
+        "num_triangles": num_triangles,
+        "num_rays": NUM_RAYS,
+        "tests_per_s_mxu": NUM_RAYS * num_triangles / best_mxu,
+        "tests_per_s_pallas_vpu": NUM_RAYS * num_triangles / best_pallas,
+        "mxu_over_vpu": best_pallas / best_mxu,
+    }
+
+
 def bench_config3() -> dict:
     """BASELINE config 3: ~10k-triangle urban mesh, order-3 SBR launch +
     first-order UTD diffraction paths (the exhaustive candidate space at
@@ -597,6 +632,10 @@ def main() -> None:
     import sys
 
     set_backend("auto")
+    if "--mxu" in sys.argv:
+        print(json.dumps({"metric": "mxu_probe", "value": 1.0, "unit": "info",
+                          "vs_baseline": 1.0, "extra": bench_mxu()}))
+        return
     if "--smoke" in sys.argv:
         smoke = bench_smoke()
         print(

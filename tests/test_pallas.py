@@ -94,3 +94,40 @@ def test_many_triangles_multi_tile() -> None:
     chex.assert_trees_all_close(
         t_direct[valid], t_got[valid], atol=1e-5
     )
+
+
+class TestMXUWoopPrototype:
+    """The Woop/MXU closest-hit prototype must agree with the VPU kernels."""
+
+    def test_matches_reference_scan(self) -> None:
+        import jax
+        from differt_tpu.ops._mxu_mt import mxu_first_triangle_hit_by_ray
+        from differt_tpu.rt import first_triangle_hit_by_ray
+        from differt_tpu.scenes import street_canyon_scene
+
+        key = jax.random.key(7)
+        tv = street_canyon_scene().mesh.triangle_vertices
+        k1, k2 = jax.random.split(key)
+        o = jax.random.uniform(k1, (513, 3), minval=-40.0, maxval=40.0)
+        o = o.at[:, 2].set(jnp.abs(o[:, 2]) + 1.0)
+        d = jax.random.normal(k2, (513, 3)) * 30.0
+        active = (jnp.arange(tv.shape[0]) % 5) != 2
+
+        i_m, t_m = mxu_first_triangle_hit_by_ray(o, d, tv, active, ray_chunk=128)
+        i_x, t_x = first_triangle_hit_by_ray(o, d, tv, active, batch_size=64)
+        i_m, t_m, i_x, t_x = map(np.asarray, (i_m, t_m, i_x, t_x))
+        # Allow coincident-surface ties (equal-distance, both active), as
+        # in the smoke matrix.
+        same = i_m == i_x
+        tie = (
+            np.isfinite(t_m)
+            & np.isfinite(t_x)
+            & (np.abs(t_m - t_x) <= 1e-5 + 1e-4 * np.abs(t_x))
+        )
+        assert np.all(same | tie)
+        np.testing.assert_allclose(
+            np.where(np.isfinite(t_m), t_m, -1.0),
+            np.where(np.isfinite(t_x), t_x, -1.0),
+            rtol=1e-4,
+            atol=1e-4,
+        )
