@@ -9,8 +9,10 @@ measures on TPU:
 - config2_canyon: street-canyon geometry, order-2 exhaustive candidates,
   64x64 RX power map  -> paths/s and px/s.
 - cityscale_bruxelles: bruxelles.obj (14.2k triangles, the reference's
-  own "medium" benchmark scene), 1 TX x 64 RX, a 65 536-candidate
-  order-2 shard, traced + EM chain in 8 192-candidate chunks -> paths/s.
+  own "medium" benchmark scene), shape-matched to the TPU headline
+  (262 144 order-2 candidates x 128 RX in 4 096-candidate chunks): a
+  subsample of identically-shaped chunks is timed and extrapolated
+  linearly over the chunk count -> paths/s.
 
 Results land in BASELINE_MEASURED.json (checked in); bench.py divides
 its TPU throughput by these to report an honest repo-on-TPU vs
@@ -112,6 +114,15 @@ def bench_config2(ref):
 
 
 def bench_cityscale(ref):
+    """Shape-matched to bench.py's TPU headline (262 144 cand x 128 RX).
+
+    The FULL workload would take the reference ~4-5 h on CPU, so the
+    measurement times a subsample of IDENTICALLY-SHAPED chunks and
+    extrapolates linearly: every chunk is the exact (4096 candidates x
+    128 RX) tile the TPU pipeline streams, the candidate decode is the
+    same closed-form index shard, and the per-chunk work is shape-for-
+    shape what bench.py times — only the chunk COUNT is scaled down.
+    """
     from differt_tpu.geometry import generate_path_candidates
     from differt_tpu.io import load_obj
 
@@ -121,16 +132,23 @@ def bench_cityscale(ref):
     normals = jnp.asarray(mesh.normals)
     num_triangles = int(tris.shape[0])
 
-    # Sized for CPU: the reference traces ~2.2k paths/s here (the O(N)
-    # brute-force anyhit dominates at 14.2k triangles), so 4096 x 4 paths
-    # keeps the measurement honest (elapsed >> dispatch) yet < 30 s.
-    num_candidates = 4096
+    total_candidates = 262144
     chunk = 4096
+    measured_chunks = 2
     candidates = jnp.asarray(
-        np.asarray(generate_path_candidates(num_triangles, 2, size=num_candidates))
+        np.asarray(
+            generate_path_candidates(
+                num_triangles, 2, size=chunk * measured_chunks
+            )
+        )
     )
     tx = jnp.array([[0.0, 0.0, 40.0]])
-    rx = _rx_grid(-250.0, 250.0, -200.0, 200.0, 2, 2, 1.5)
+    # Same receiver layout as bench.py bench_cityscale row (a): a 16 x 8
+    # grid over the mesh bounding box at 1.5 m.
+    (min_x, min_y, _), (max_x, max_y, _) = mesh.bounding_box
+    rx = _rx_grid(
+        float(min_x), float(max_x), float(min_y), float(max_y), 16, 8, 1.5
+    )
     eta_r = jnp.array([5.24])
     conductivity = jnp.array([0.12])
     face_materials = jnp.zeros((num_triangles,), dtype=jnp.int32)
@@ -154,19 +172,25 @@ def bench_cityscale(ref):
 
     def run():
         acc = None
-        for c0 in range(0, num_candidates, chunk):
+        for c0 in range(0, chunk * measured_chunks, chunk):
             part = tile(candidates[c0 : c0 + chunk])
             acc = part if acc is None else acc + part
         return jnp.abs(acc) ** 2
 
     elapsed = _time(run, repeat=1)
-    num_paths = int(rx.shape[0]) * num_candidates
+    measured_paths = int(rx.shape[0]) * chunk * measured_chunks
+    paths_per_s = measured_paths / elapsed
     return {
         "num_triangles": num_triangles,
-        "num_candidates": num_candidates,
+        "num_candidates": total_candidates,
         "num_rx": int(rx.shape[0]),
-        "elapsed_s": round(elapsed, 4),
-        "paths_per_s": round(num_paths / elapsed, 1),
+        "chunk": chunk,
+        "measured_chunks": measured_chunks,
+        "measured_elapsed_s": round(elapsed, 4),
+        "elapsed_s_extrapolated": round(
+            elapsed * total_candidates / (chunk * measured_chunks), 1
+        ),
+        "paths_per_s": round(paths_per_s, 1),
     }
 
 
