@@ -7,7 +7,16 @@ from enum import IntEnum
 
 
 class InteractionType(IntEnum):
-    """Type of a ray-object interaction."""
+    """Type of a ray-object interaction.
+
+    Values are stable integers so interaction arrays can be stored as
+    plain ``int32`` and compared with the enum:
+
+    >>> int(InteractionType.REFLECTION), int(InteractionType.DIFFRACTION)
+    (0, 1)
+    >>> InteractionType(2).name
+    'SCATTERING'
+    """
 
     REFLECTION = 0
     """Specular reflection."""

@@ -25,7 +25,24 @@ _PLY_TYPES = {
 
 
 def load_ply(file: str | PathLike[str]):
-    """Load a Stanford .ply file as a :class:`Mesh`."""
+    """Load a Stanford .ply file as a :class:`Mesh`.
+
+    >>> import os, tempfile
+    >>> ply = "\\n".join([
+    ...     "ply", "format ascii 1.0",
+    ...     "element vertex 3", "property float x",
+    ...     "property float y", "property float z",
+    ...     "element face 1", "property list uchar int vertex_indices",
+    ...     "end_header",
+    ...     "0 0 0", "1 0 0", "0 1 0", "3 0 1 2", "",
+    ... ])
+    >>> with tempfile.TemporaryDirectory() as d:
+    ...     path = os.path.join(d, "tri.ply")
+    ...     _ = open(path, "w").write(ply)
+    ...     mesh = load_ply(path)
+    >>> mesh.num_primitives, mesh.vertices.shape
+    (1, (3, 3))
+    """
     from ..geometry._mesh import Mesh
 
     data = Path(file).read_bytes()

@@ -16,7 +16,21 @@ SIONNA_SCENES_URL = (
 
 
 def sionna_cache_dir() -> Path:
-    """Directory where Sionna scenes are cached."""
+    """Directory where Sionna scenes are cached.
+
+    Honors ``DIFFERT_TPU_CACHE_DIR`` when set:
+
+    >>> import os
+    >>> old = os.environ.get("DIFFERT_TPU_CACHE_DIR")
+    >>> os.environ["DIFFERT_TPU_CACHE_DIR"] = "/tmp/dtpu-doctest"
+    >>> sionna_cache_dir().as_posix()
+    '/tmp/dtpu-doctest/sionna'
+    >>> _ = os.environ.pop("DIFFERT_TPU_CACHE_DIR")
+    >>> if old is not None:
+    ...     os.environ["DIFFERT_TPU_CACHE_DIR"] = old
+    >>> sionna_cache_dir().name
+    'sionna'
+    """
     root = os.environ.get(
         "DIFFERT_TPU_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "differt_tpu"),

@@ -156,6 +156,27 @@ def load_scene_xml(file: str | PathLike[str]):
     """Load a Sionna XML scene into a single merged :class:`Mesh`.
 
     Reference parity: scene.rs:36-70.
+
+    >>> import os, tempfile
+    >>> xml = (
+    ...     '<scene version="2.1.0">'
+    ...     '<bsdf type="twosided" id="mat-wall">'
+    ...     '<rgb value="0.8 0.1 0.1" name="reflectance"/></bsdf>'
+    ...     '<shape type="obj" id="wall">'
+    ...     '<string name="filename" value="meshes/wall.obj"/>'
+    ...     '<ref id="mat-wall"/></shape></scene>'
+    ... )
+    >>> with tempfile.TemporaryDirectory() as d:
+    ...     os.mkdir(os.path.join(d, "meshes"))
+    ...     _ = open(os.path.join(d, "meshes", "wall.obj"), "w").write(
+    ...         "v 0 0 0\\nv 1 0 0\\nv 0 1 0\\nf 1 2 3\\n"
+    ...     )
+    ...     _ = open(os.path.join(d, "scene.xml"), "w").write(xml)
+    ...     mesh = load_scene_xml(os.path.join(d, "scene.xml"))
+    >>> mesh.num_primitives
+    1
+    >>> [round(float(c), 2) for c in mesh.face_colors[0]]
+    [0.8, 0.1, 0.1]
     """
     from ._obj import load_obj
     from ._ply import load_ply

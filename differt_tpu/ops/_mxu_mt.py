@@ -41,6 +41,15 @@ def woop_transforms(
     plane equation scaled so ``row2 . [p; 1]`` is the signed distance
     along the (unnormalized) normal. Built by inverting the 3x3 frame
     [e1 e2 n] per triangle — one small batched inverse at setup time.
+
+    >>> import jax.numpy as jnp
+    >>> tri = jnp.array([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
+    >>> m = woop_transforms(tri)
+    >>> m.shape
+    (1, 3, 4)
+    >>> p = jnp.array([0.25, 0.5, 0.0, 1.0])  # in-plane point, homogeneous
+    >>> [round(float(x), 3) for x in m[0] @ p]  # (u, v, signed distance)
+    [0.25, 0.5, 0.0]
     """
     v0 = triangle_vertices[:, 0, :]
     e1 = triangle_vertices[:, 1, :] - v0

@@ -53,6 +53,17 @@ def morton_perm_points(
     Spatially-adjacent points land next to each other, which makes
     fixed-size chunks of the sorted order spatially compact — the property
     the AABB slab-test culling in these kernels relies on.
+
+    >>> import jax.numpy as jnp
+    >>> pts = jnp.array(
+    ...     [[0.0, 0.0, 0.0], [9.0, 9.0, 9.0], [0.1, 0.0, 0.0], [9.0, 8.9, 9.0]]
+    ... )
+    >>> perm = morton_perm_points(pts)
+    >>> sorted_pts = pts[perm]  # near points become neighbors
+    >>> bool(jnp.linalg.norm(sorted_pts[0] - sorted_pts[1]) < 1.0)
+    True
+    >>> bool(jnp.linalg.norm(sorted_pts[2] - sorted_pts[3]) < 1.0)
+    True
     """
     centroids = points
     lo = centroids.min(axis=0)

@@ -131,7 +131,13 @@ def draw_markers(
     backend: str | None = None,
     **kwargs: Any,
 ) -> PlotOutput:
-    """Draw 3D point markers with optional text labels."""
+    """Draw 3D point markers with optional text labels.
+
+    >>> import numpy as np
+    >>> fig = draw_markers(np.zeros((2, 3)), backend="matplotlib")
+    >>> type(fig).__name__
+    'Figure'
+    """
     backend = get_backend(backend)
     kwargs = merged_kwargs(backend, kwargs)
     markers = np.asarray(markers).reshape(-1, 3)

@@ -266,7 +266,16 @@ def _receive_projection(
 
 
 def _direction_angles_deg(k: Float[Array, "... 3"]) -> tuple[Array, Array]:
-    """(azimuth, elevation) of unit directions, in degrees."""
+    """(azimuth, zenith) angles of unit directions, in degrees.
+
+    >>> import jax.numpy as jnp
+    >>> az, zen = _direction_angles_deg(jnp.array([1.0, 0.0, 0.0]))
+    >>> round(float(az)), round(float(zen))
+    (0, 90)
+    >>> az, zen = _direction_angles_deg(jnp.array([0.0, 0.0, 1.0]))
+    >>> round(float(zen))  # +z is the pole
+    0
+    """
     _, elevation, azimuth = jnp.moveaxis(cartesian_to_spherical(k), -1, 0)
     return jnp.rad2deg(azimuth), jnp.rad2deg(elevation)
 

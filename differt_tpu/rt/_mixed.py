@@ -45,7 +45,13 @@ from ._scan import ray_intersect_any_triangle
 
 
 def count_mixed_path_candidates(slot_sizes: Sequence[int]) -> int:
-    """Total number of mixed candidates (full product of slot sizes)."""
+    """Total number of mixed candidates (full product of slot sizes).
+
+    >>> count_mixed_path_candidates([3, 4, 2])
+    24
+    >>> count_mixed_path_candidates([])  # empty chain: the single LOS path
+    1
+    """
     total = 1
     for size in slot_sizes:
         total *= max(int(size), 0)

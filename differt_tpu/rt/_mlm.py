@@ -35,7 +35,18 @@ _MLM_EPSILON = 1e-4
 
 
 def _hash_int(x: Array) -> Array:
-    """32-bit integer avalanche hash (degski multiplier, as the reference)."""
+    """32-bit integer avalanche hash (degski multiplier, as the reference).
+
+    Pinned to the exact constants the reference Warp kernel uses, so the
+    MLM hash maps agree bit-for-bit (oracled in
+    ``tests/test_launch_vs_reference.py``):
+
+    >>> import jax.numpy as jnp
+    >>> int(_hash_int(jnp.uint32(0)))
+    0
+    >>> int(_combine_hashes(jnp.uint32(1), jnp.uint32(2)))
+    2654435834
+    """
     x = x.astype(jnp.uint32)
     m = jnp.uint32(0x045D9F3B)
     x = ((x >> 16) ^ x) * m

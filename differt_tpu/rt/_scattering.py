@@ -48,6 +48,17 @@ def triangle_sample_points(
     ``num_samples=1`` returns centroids; larger counts use an R2
     low-discrepancy sequence folded into barycentric coordinates, so
     samples cover the triangle evenly and stay jit-constant.
+
+    >>> import jax.numpy as jnp
+    >>> tri = jnp.array([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
+    >>> points, weights = triangle_sample_points(tri)
+    >>> [round(float(x), 4) for x in points[0, 0]]  # centroid
+    [0.3333, 0.3333, 0.0]
+    >>> float(weights[0, 0])  # the triangle's area
+    0.5
+    >>> points, weights = triangle_sample_points(tri, num_samples=4)
+    >>> points.shape, round(float(weights.sum()), 4)  # weights sum to area
+    ((1, 4, 3), 0.5)
     """
     triangle_vertices = jnp.asarray(triangle_vertices)
     a = triangle_vertices[..., 0, :]

@@ -569,6 +569,21 @@ class ExhaustivePathTracer(AbstractPathTracer):
     ``shard`` argument restricts generation to an index sub-range so each
     chip enumerates exactly its own shard without host work.
     Reference parity: _solvers.py:778-957.
+
+    >>> import jax.numpy as jnp
+    >>> from differt_tpu.geometry import Mesh, Scene
+    >>> scene = Scene(
+    ...     transmitters=jnp.array([-1.0, 0.0, 0.5]),
+    ...     receivers=jnp.array([1.0, 0.0, 0.5]),
+    ...     mesh=Mesh.plane(
+    ...         jnp.zeros(3), normal=jnp.array([0.0, 0.0, 1.0]), side_length=10.0
+    ...     ),
+    ... )
+    >>> paths = ExhaustivePathTracer().trace_paths(scene, order=1)
+    >>> int(paths.num_valid_paths)  # one specular point per quad triangle
+    2
+    >>> [round(float(v), 3) for v in paths.masked().vertices[0, 1]]
+    [0.0, 0.0, 0.0]
     """
 
     epsilon: Float[ArrayLike, ""] | None = None

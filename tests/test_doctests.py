@@ -36,7 +36,25 @@ MODULE_NAMES = [
     "differt_tpu.parallel._sharding",
     "differt_tpu.plotting._utils",
     "differt_tpu.io._export",
+    "differt_tpu.em._constants",
+    "differt_tpu.em._interaction_type",
+    "differt_tpu.rt._mixed",
+    "differt_tpu.rt._scattering",
+    "differt_tpu.rt._mlm",
+    "differt_tpu.rt._solvers",
+    "differt_tpu.io._obj",
+    "differt_tpu.io._ply",
+    "differt_tpu.io._xml",
+    "differt_tpu.io._sionna",
+    "differt_tpu.ops._mxu_mt",
+    "differt_tpu.ops._pallas_rt",
+    "differt_tpu.plotting._core",
+    "differt_tpu.plugins.deepmimo",
 ]
+# Not doctested: io.__main__ (CLI entry point, covered by test_io.py),
+# plotting._vispy (vispy not installable here; covered by skip-marked
+# tests), ops._pallas_trace (kernel-only module, exercised end-to-end by
+# test_pallas_trace.py and the bench smoke matrix).
 
 
 @pytest.mark.parametrize("name", MODULE_NAMES)
