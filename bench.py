@@ -236,11 +236,12 @@ def bench_cityscale_xl() -> dict:
     """Munich-class row: ~113k-triangle procedural city, order-2 trace+EM.
 
     Both compute paths are timed on identical work so the megakernel/XLA
-    crossover is measured, not folklore (docs/performance.md): the fused
-    Pallas megakernel wins below ~50k triangles, the XLA pipeline (whose
-    blockage sweep uses the two-level-AABB Pallas any-hit kernel) wins
-    above. The reference serves this scene class through Warp's CUDA BVH
-    (_mesh.py:142-223), unavailable on TPU.
+    question stays measured, not folklore (docs/performance.md, "no
+    crossover"): under the steady-state >=1 s harness the fused Pallas
+    megakernel wins at every measured scale — ~3.3x over the XLA pipeline
+    (whose blockage sweep uses the two-level-AABB Pallas any-hit kernel)
+    at 113k triangles. The reference serves this scene class through
+    Warp's CUDA BVH (_mesh.py:142-223), unavailable on TPU.
     """
     from differt_tpu.geometry import generate_path_candidates
     import differt_tpu.treekit as tk
