@@ -256,99 +256,109 @@ def _trace_kernel(
     thresh = 1.0 - 2.0 * hit_tol
 
     def _blockage_slot(slot, _):
-        # Two-level culling. Level 1: one scalar branch per (slot,
-        # triangle tile) — run the tile only when some still-unblocked
-        # segment's slab interval overlaps the tile AABB (Morton-sorted
-        # triangles keep the AABBs tight). Level 2, inside passing tiles:
-        # one branch per T_SUB chunk, unioned over segments. Branching per
-        # (chunk, segment) instead was measured slower on v5e: ~5k
-        # scalar-predicated regions per grid step cost more than the
-        # culled MT work saved.
-        tile_box = [tile_aabb_ref[c, t_idx] for c in range(6)]
+        # Level 0: one scalar branch per slot — skip everything below,
+        # including the slab-test preamble, when every RX lane of this
+        # candidate slot is already masked or blocked. At city scale the
+        # overwhelming majority of random candidates die in the geometry
+        # phase (the specular points miss their triangles for all RX),
+        # so most (slot, triangle-tile) steps cost exactly this one
+        # 128-lane reduction instead of (k + 1) slab sweeps. The
+        # any-active guard also lives here: fully padded/masked tiles
+        # have inverted +-inf boxes for which the slab test degenerates
+        # to "overlaps everything" (correctness never depended on it —
+        # hits are masked by `active` — only wasted MT sweeps).
         pending = jnp.logical_not(mask_ref[0, slot, 0, :]).reshape(1, -1)
-        segs = []
-        needed = jnp.zeros((), dtype=jnp.bool_)
-        for s in range(k + 1):
-            o = [
-                seg_scratch[slot, 6 * s + c, :].reshape(1, -1)
-                for c in range(3)
-            ]
-            d = [
-                seg_scratch[slot, 6 * s + 3 + c, :].reshape(1, -1)
-                for c in range(3)
-            ]
-            # Offset the origin to dodge self-intersection at the
-            # segment start (same trick as the mesh-level any-hit).
-            o = [o[c] + d[c] * hit_tol for c in range(3)]
-            segs.append((o, d))
-            needed = needed | jnp.any(
-                _slab_overlap(o, d, tile_box, thresh) & pending
-            )
-        # Fully padded/masked tiles have inverted +-inf boxes for which the
-        # slab test degenerates to "overlaps everything"; the any-active
-        # guard restores the culling there (correctness never depended on
-        # it — hits are masked by `active` — only wasted MT sweeps).
-        needed = needed & jnp.any(active_ref[0, :] > 0)
+        slot_alive = jnp.any(pending) & jnp.any(active_ref[0, :] > 0)
 
-        @pl.when(needed)
-        def _blockage():
-            for chunk in range(num_chunks):
-                sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
-                g = t_idx * num_chunks + chunk
-                chunk_box = [chunk_aabb_ref[c, g] for c in range(6)]
-                pend = jnp.logical_not(mask_ref[0, slot, 0, :]).reshape(1, -1)
-                chunk_needed = jnp.any(active_ref[0, sl] > 0)
-                seg_needed = jnp.zeros((), dtype=jnp.bool_)
-                for s in range(k + 1):
-                    o, d = segs[s]
-                    seg_needed = seg_needed | jnp.any(
-                        _slab_overlap(o, d, chunk_box, thresh) & pend
-                    )
-                chunk_needed = chunk_needed & seg_needed
+        @pl.when(slot_alive)
+        def _slot():
+            # Level 1: one scalar branch per (slot, triangle tile) — run
+            # the tile only when some still-unblocked segment's slab
+            # interval overlaps the tile AABB (Morton-sorted triangles
+            # keep the AABBs tight). Level 2, inside passing tiles: one
+            # branch per T_SUB chunk, unioned over segments. Branching
+            # per (chunk, segment) instead was measured slower on v5e:
+            # ~5k scalar-predicated regions per grid step cost more than
+            # the culled MT work saved.
+            tile_box = [tile_aabb_ref[c, t_idx] for c in range(6)]
+            segs = []
+            needed = jnp.zeros((), dtype=jnp.bool_)
+            for s in range(k + 1):
+                o = [
+                    seg_scratch[slot, 6 * s + c, :].reshape(1, -1)
+                    for c in range(3)
+                ]
+                d = [
+                    seg_scratch[slot, 6 * s + 3 + c, :].reshape(1, -1)
+                    for c in range(3)
+                ]
+                # Offset the origin to dodge self-intersection at the
+                # segment start (same trick as the mesh-level any-hit).
+                o = [o[c] + d[c] * hit_tol for c in range(3)]
+                segs.append((o, d))
+                needed = needed | jnp.any(
+                    _slab_overlap(o, d, tile_box, thresh) & pending
+                )
 
-                @pl.when(chunk_needed)
-                def _chunk(sl=sl):
-                    blocked = mask_ref[0, slot, 0, :]
-                    v0 = [mesh_ref[c, sl].reshape(-1, 1) for c in range(3)]
-                    e1 = [mesh_ref[3 + c, sl].reshape(-1, 1) for c in range(3)]
-                    e2 = [mesh_ref[6 + c, sl].reshape(-1, 1) for c in range(3)]
-                    active = active_ref[0, sl].reshape(-1, 1) > 0
+            @pl.when(needed)
+            def _blockage():
+                for chunk in range(num_chunks):
+                    sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
+                    g = t_idx * num_chunks + chunk
+                    chunk_box = [chunk_aabb_ref[c, g] for c in range(6)]
+                    pend = jnp.logical_not(mask_ref[0, slot, 0, :]).reshape(1, -1)
+                    chunk_needed = jnp.any(active_ref[0, sl] > 0)
+                    seg_needed = jnp.zeros((), dtype=jnp.bool_)
                     for s in range(k + 1):
                         o, d = segs[s]
-                        h = [
-                            d[1] * e2[2] - d[2] * e2[1],
-                            d[2] * e2[0] - d[0] * e2[2],
-                            d[0] * e2[1] - d[1] * e2[0],
-                        ]
-                        det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
-                        inv = jnp.where(
-                            det == 0.0,
-                            0.0,
-                            1.0 / jnp.where(det == 0.0, 1.0, det),
+                        seg_needed = seg_needed | jnp.any(
+                            _slab_overlap(o, d, chunk_box, thresh) & pend
                         )
-                        s_vec = [o[c] - v0[c] for c in range(3)]
-                        u = inv * (
-                            s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2]
-                        )
-                        q = [
-                            s_vec[1] * e1[2] - s_vec[2] * e1[1],
-                            s_vec[2] * e1[0] - s_vec[0] * e1[2],
-                            s_vec[0] * e1[1] - s_vec[1] * e1[0],
-                        ]
-                        v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
-                        tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
-                        hit = (
-                            (jnp.abs(det) > epsilon)
-                            & (u >= 0.0)
-                            & (u <= 1.0)
-                            & (v >= 0.0)
-                            & (u + v <= 1.0)
-                            & (tt > epsilon)
-                            & (tt < thresh)
-                            & active
-                        )
-                        blocked = blocked | hit.any(axis=0)
-                    mask_ref[0, slot, 0, :] = blocked
+                    chunk_needed = chunk_needed & seg_needed
+
+                    @pl.when(chunk_needed)
+                    def _chunk(sl=sl):
+                        blocked = mask_ref[0, slot, 0, :]
+                        v0 = [mesh_ref[c, sl].reshape(-1, 1) for c in range(3)]
+                        e1 = [mesh_ref[3 + c, sl].reshape(-1, 1) for c in range(3)]
+                        e2 = [mesh_ref[6 + c, sl].reshape(-1, 1) for c in range(3)]
+                        active = active_ref[0, sl].reshape(-1, 1) > 0
+                        for s in range(k + 1):
+                            o, d = segs[s]
+                            h = [
+                                d[1] * e2[2] - d[2] * e2[1],
+                                d[2] * e2[0] - d[0] * e2[2],
+                                d[0] * e2[1] - d[1] * e2[0],
+                            ]
+                            det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
+                            inv = jnp.where(
+                                det == 0.0,
+                                0.0,
+                                1.0 / jnp.where(det == 0.0, 1.0, det),
+                            )
+                            s_vec = [o[c] - v0[c] for c in range(3)]
+                            u = inv * (
+                                s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2]
+                            )
+                            q = [
+                                s_vec[1] * e1[2] - s_vec[2] * e1[1],
+                                s_vec[2] * e1[0] - s_vec[0] * e1[2],
+                                s_vec[0] * e1[1] - s_vec[1] * e1[0],
+                            ]
+                            v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
+                            tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
+                            hit = (
+                                (jnp.abs(det) > epsilon)
+                                & (u >= 0.0)
+                                & (u <= 1.0)
+                                & (v >= 0.0)
+                                & (u + v <= 1.0)
+                                & (tt > epsilon)
+                                & (tt < thresh)
+                                & active
+                            )
+                            blocked = blocked | hit.any(axis=0)
+                        mask_ref[0, slot, 0, :] = blocked
 
         return None
 
