@@ -290,16 +290,26 @@ def bench_cityscale_xl() -> dict:
         t_mega = timed(True)
         result["megakernel_paths_per_s"] = paths / t_mega
         result["megakernel_elapsed_s"] = t_mega
-    except Exception:  # noqa: BLE001 - the benchmark must always report.
+    except Exception:  # noqa: BLE001 — report loudly, don't abort the matrix.
+        # A megakernel failure must be visible in the artifact, not a
+        # quietly-lower XLA number: record the traceback and leave the
+        # row's headline ``paths_per_s`` unset (VERDICT r4, weak #1).
+        import traceback
+
         result["megakernel_paths_per_s"] = None
+        result["megakernel_error"] = traceback.format_exc()[-1500:]
     t_xla = timed(False)
     result["xla_paths_per_s"] = paths / t_xla
     result["xla_elapsed_s"] = t_xla
-    result["paths_per_s"] = max(
-        result.get("megakernel_paths_per_s") or 0.0, paths / t_xla
-    )
-    if result.get("megakernel_paths_per_s"):
+    if result["megakernel_paths_per_s"] is not None:
+        result["paths_per_s"] = max(
+            result["megakernel_paths_per_s"], result["xla_paths_per_s"]
+        )
         result["xla_over_megakernel"] = t_mega / t_xla
+    else:
+        # No headline number without a working megakernel — the XLA
+        # fallback rate stays visible under its own key only.
+        result["paths_per_s"] = None
     return result
 
 
@@ -337,12 +347,22 @@ def bench_raycast() -> dict:
         lambda o, d, t: first_triangle_hit_by_ray(o, d, t, batch_size=256)
     )
     t_xla = timed(lambda i: jitted(origins + 1e-4 * i, directions, tv))
+    tests_per_s = NUM_RAYS * num_triangles / t_pallas
+    # Roofline: ~40 f32 VPU ops per Möller–Trumbore test (cross products,
+    # dots, compares — docs/performance.md "Where the time goes") against
+    # the v5e VPU f32 peak: 8x128 lanes x 4 ALUs x ~0.94 GHz ~= 3.85e12
+    # ops/s/core (1 core/chip). Tracked round-over-round so "VPU-bound"
+    # stays a number, not folklore (VERDICT r4 #8).
+    MT_OPS_PER_TEST = 40.0
+    V5E_VPU_F32_OPS_PER_S = 3.85e12
     return {
         "num_triangles": num_triangles,
         "rays_per_s_pallas": NUM_RAYS / t_pallas,
         "rays_per_s_xla": NUM_RAYS / t_xla,
-        "tests_per_s_pallas": NUM_RAYS * num_triangles / t_pallas,
+        "tests_per_s_pallas": tests_per_s,
         "pallas_speedup_vs_xla": t_xla / t_pallas,
+        "vpu_flops": tests_per_s * MT_OPS_PER_TEST,
+        "vpu_util": tests_per_s * MT_OPS_PER_TEST / V5E_VPU_F32_OPS_PER_S,
     }
 
 
@@ -388,17 +408,21 @@ def bench_config3() -> dict:
     scene = urban_scene(16, 16)
     import differt_tpu.treekit as tk
 
-    scene = tk.tree_at(
-        lambda s: s.transmitters, scene, jnp.array([[0.0, 0.0, 40.0]])
-    )
+    base_tx = jnp.array([[0.0, 0.0, 40.0]])
+    scene = tk.tree_at(lambda s: s.transmitters, scene, base_tx)
     scene = scene.with_receivers_grid(8, 8, height=1.5)
     num_tris = scene.mesh.num_triangles
     num_rays = 250_000
     order = 3
 
+    # Reps vary the TRACED transmitter position, never a shape or a
+    # static float: varying num_rays (a shape) or min_len (a static)
+    # recompiled the whole program inside the timed region, which is what
+    # the round-3/4 "kernel regressions" actually measured.
     def launch(i):
-        return scene.launch_paths(
-            order=order, solver="sbr", num_rays=num_rays + 8 * i
+        s = tk.tree_at(lambda x: x.transmitters, scene, base_tx + 1e-4 * i)
+        return s.launch_paths(
+            order=order, solver="sbr", num_rays=num_rays
         ).masks
 
     _sync(launch(0).sum())
@@ -429,15 +453,16 @@ def bench_config3() -> dict:
     from differt_tpu.rt._diffraction import _trace_diffraction
 
     def diff(i):
-        # min_len varies per call so repeats cannot collapse to a cache hit.
+        # The TX offset varies per call (traced, recompile-free) so
+        # repeats cannot collapse to a cache hit.
         return _trace_diffraction(
             mesh,
-            scene.transmitters.reshape(-1, 3),
+            scene.transmitters.reshape(-1, 3) + 1e-5 * i,
             scene.receivers.reshape(-1, 3),
             edges,
             epsilon=None,
             hit_tol=None,
-            min_len=1e-6 * (i + 1),
+            min_len=1e-6,
         ).mask
 
     _sync(diff(0).sum())
@@ -455,8 +480,9 @@ def bench_config3() -> dict:
     mlm_order = 2
 
     def mlm(i):
-        return scene.compute_tx_mlm(
-            num_rays=mlm_rays + 8 * i,
+        s = tk.tree_at(lambda x: x.transmitters, scene, base_tx + 1e-4 * i)
+        return s.compute_tx_mlm(
+            num_rays=mlm_rays,
             order=mlm_order,
             grid_size=(128, 128),
             receiver_plane_z=1.5,

@@ -284,6 +284,9 @@ def power_map(
         >>> bool(jnp.all(power > 0.0))
         True
     """
+    # Traced, so frequency sweeps re-use one compiled program (see
+    # power_map_chunked).
+    frequency = jnp.asarray(frequency)
     eta_r, conductivity, thickness = _resolve_materials(
         scene, frequency, eta_r, conductivity, thickness
     )
@@ -517,6 +520,12 @@ def power_map_chunked(
     """
     from .rt._solvers import _SOLVER_REGISTRY
 
+    # Trace the frequency: a Python float would be a STATIC argument of
+    # the jitted tile step, so a frequency sweep (or a benchmark varying
+    # the frequency between reps) would recompile the whole pipeline for
+    # every distinct value — a 20-40 s remote compile per point on the
+    # tunneled chip. As a 0-d array it is an ordinary traced operand.
+    frequency = jnp.asarray(frequency)
     eta_r, conductivity, thickness = _resolve_materials(
         scene, frequency, eta_r, conductivity, thickness
     )

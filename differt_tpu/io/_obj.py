@@ -42,10 +42,10 @@ def load_obj(file: str | PathLike[str]):
     (differt_tpu/native) — ~50x faster on multi-MB city meshes — with this
     pure-Python implementation as the fallback and oracle.
 
-    >>> import os, tempfile
+    >>> import os, pathlib, tempfile
     >>> with tempfile.TemporaryDirectory() as d:
-    ...     path = os.path.join(d, "tri.obj")
-    ...     _ = open(path, "w").write("v 0 0 0\\nv 1 0 0\\nv 0 1 0\\nf 1 2 3\\n")
+    ...     path = pathlib.Path(d) / "tri.obj"
+    ...     _ = path.write_text("v 0 0 0\\nv 1 0 0\\nv 0 1 0\\nf 1 2 3\\n")
     ...     mesh = load_obj(path)
     >>> mesh.num_primitives, mesh.vertices.shape
     (1, (3, 3))

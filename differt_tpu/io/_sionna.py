@@ -22,12 +22,15 @@ def sionna_cache_dir() -> Path:
 
     >>> import os
     >>> old = os.environ.get("DIFFERT_TPU_CACHE_DIR")
-    >>> os.environ["DIFFERT_TPU_CACHE_DIR"] = "/tmp/dtpu-doctest"
-    >>> sionna_cache_dir().as_posix()
+    >>> try:
+    ...     os.environ["DIFFERT_TPU_CACHE_DIR"] = "/tmp/dtpu-doctest"
+    ...     out = sionna_cache_dir().as_posix()
+    ... finally:  # never leak the override into later tests
+    ...     _ = os.environ.pop("DIFFERT_TPU_CACHE_DIR", None)
+    ...     if old is not None:
+    ...         os.environ["DIFFERT_TPU_CACHE_DIR"] = old
+    >>> out
     '/tmp/dtpu-doctest/sionna'
-    >>> _ = os.environ.pop("DIFFERT_TPU_CACHE_DIR")
-    >>> if old is not None:
-    ...     os.environ["DIFFERT_TPU_CACHE_DIR"] = old
     >>> sionna_cache_dir().name
     'sionna'
     """

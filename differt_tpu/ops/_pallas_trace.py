@@ -8,8 +8,8 @@ program (SURVEY.md section 7, stage 4):
 
 - grid ``(num_tx, candidate_tiles, rx_tiles, tri_tiles)`` with
   ``C_TILE`` candidates handled per grid step (amortizing per-step
-  overhead — measured ~35 us/step against ~6 us of VPU work per
-  candidate on v5e);
+  overhead; C_TILE was swept 8/16/32/64/128 on the 113k-triangle city —
+  the 35.4M paths/s plateau starts at 64);
 - at the first triangle tile, each candidate's mirror images are computed
   *scalar* (they do not depend on RX), the backward intersection pass runs
   vectorized over an RX tile, the geometric checks (inside-triangle,
@@ -18,6 +18,17 @@ program (SURVEY.md section 7, stage 4):
 - subsequent triangle tiles stream the mesh through VMEM for the blockage
   (any-hit) test with per-RX accumulators resident in VMEM — zero
   intermediate HBM traffic between tracing and validation.
+
+The blockage phase is vectorized across the ``C_TILE`` candidate slots:
+segment origins/directions and the running blocked state live as
+``[C_TILE, tile_r]`` VMEM planes (slots on the sublane axis, RX on the
+lane axis), so each triangle tile costs ONE scalar branch and a handful
+of dense vector ops regardless of ``C_TILE``. The round-4 design looped
+slots with a scalar-predicated region each — at 113k triangles (221
+tiles/candidate-tile) those ~1.8k scalar branches per candidate tile were
+the entire grid-step cost (docs/performance.md, "fewer grid steps, not
+cheaper ones"); folding slots onto sublanes removed them and was the
+single biggest XL-scale win (measured ladder in docs/performance.md).
 
 Per-candidate scalars (mirror vertices/normals, candidate triangles) ride
 in SMEM; coordinates use SoA layouts so the lane axis is the 128-wide
@@ -58,7 +69,7 @@ def _smem_spec(block_shape, index_map):
 
 MAX_TILE_R = 1024
 MAX_TILE_T = 512
-C_TILE = 8
+C_TILE = 64
 T_SUB = 64  # Triangle sublane-chunk size in the blockage phase.
 
 
@@ -77,8 +88,9 @@ def _trace_kernel(
     chunk_aabb_ref,  # SMEM [8, num_chunks_total] per-T_SUB-chunk AABB
     verts_ref,    # VMEM [1, C_TILE, rows, tile_r] output
     mask_ref,     # VMEM [1, C_TILE, 8, tile_r] bool output (row 0 used)
-    seg_scratch,  # VMEM [C_TILE, 6*(k+1), tile_r]
+    seg_scratch,  # VMEM [6*(k+1), C_TILE, tile_r] (rows: per-seg o/d coords)
     geom_scratch,  # VMEM [C_TILE, tile_r] bool
+    blocked_scratch,  # VMEM [C_TILE, tile_r] bool (running any-hit state)
     *,
     order: int,
     tris_per_mirror: int,
@@ -153,10 +165,10 @@ def _trace_kernel(
                 d = [chain[s + 1][c] - chain[s][c] for c in range(3)]
                 for c in range(3):
                     finite = finite & jnp.isfinite(o[c]) & jnp.isfinite(d[c])
-                    seg_scratch[slot, 6 * s + c, :] = jnp.where(
+                    seg_scratch[6 * s + c, slot, :] = jnp.where(
                         jnp.isfinite(o[c]), o[c], 0.0
                     )
-                    seg_scratch[slot, 6 * s + 3 + c, :] = jnp.where(
+                    seg_scratch[6 * s + 3 + c, slot, :] = jnp.where(
                         jnp.isfinite(d[c]), d[c], 0.0
                     )
                 seg_sq = _dot3(d, d)
@@ -238,7 +250,7 @@ def _trace_kernel(
             lane = rx_idx * tile_r + jax.lax.broadcasted_iota(
                 jnp.int32, (1, tile_r), 1
             )
-            mask_ref[0, slot, 0, :] = (lane >= num_rx).reshape(
+            blocked_scratch[slot, :] = (lane >= num_rx).reshape(
                 -1
             ) | jnp.logical_not(geom)
             return None
@@ -246,129 +258,183 @@ def _trace_kernel(
         jax.lax.fori_loop(0, C_TILE, _geometry_slot, None)
 
     # Blockage phase: any-hit of every segment against this triangle tile.
-    # Orientation: triangles ride the SUBLANE axis (chunks of T_SUB) and the
-    # RX tile the 128-wide lane axis — lane padding then wastes nothing on
-    # small meshes (the triangle count only pads to a multiple of T_SUB,
-    # not 128), and blocks stay [T_SUB, tile_r] which fits VMEM at any
-    # tile_t.
+    # The tile-level gates are vectorized across ALL candidate slots at
+    # once: slots ride the sublane axis and the RX tile the 128-wide lane
+    # axis, so the pending mask and the shared slab tests are dense
+    # [C_TILE, tile_r] vector ops and a DEAD tile costs exactly one
+    # scalar branch + a few vector ops regardless of C_TILE. At XL scale
+    # (221 tiles/candidate-tile, almost all dead) the round-4 per-slot
+    # branches were the entire grid-step cost; the shared gate plus a
+    # larger C_TILE is the measured ~150x XL win. Only inside a FIRING
+    # tile does the kernel drop to per-slot granularity again (see
+    # _blockage_slot below).
     tile_t = mesh_ref.shape[1]
     num_chunks = tile_t // T_SUB
     thresh = 1.0 - 2.0 * hit_tol
 
-    def _blockage_slot(slot, _):
-        # Level 0: one scalar branch per slot — skip everything below,
-        # including the slab-test preamble, when every RX lane of this
-        # candidate slot is already masked or blocked. At city scale the
-        # overwhelming majority of random candidates die in the geometry
-        # phase (the specular points miss their triangles for all RX),
-        # so most (slot, triangle-tile) steps cost exactly this one
-        # 128-lane reduction instead of (k + 1) slab sweeps. The
-        # any-active guard also lives here: fully padded/masked tiles
-        # have inverted +-inf boxes for which the slab test degenerates
-        # to "overlaps everything" (correctness never depended on it —
-        # hits are masked by `active` — only wasted MT sweeps).
-        pending = jnp.logical_not(mask_ref[0, slot, 0, :]).reshape(1, -1)
-        slot_alive = jnp.any(pending) & jnp.any(active_ref[0, :] > 0)
+    # Level 0: one branch per grid step — skip the whole tile when every
+    # (slot, RX) path is already masked/blocked or the tile is inactive.
+    # Padded RX lanes and geometry-failed paths start "already blocked"
+    # (see the geometry phase), so `pending` is exactly the paths whose
+    # blockage still matters — at city scale a tiny fraction. The
+    # any-active guard covers fully padded/masked tiles whose inverted
+    # +-inf AABBs degenerate the slab test to "overlaps everything".
+    pending0 = jnp.logical_not(blocked_scratch[:, :])
+    tile_alive = jnp.any(pending0) & jnp.any(active_ref[0, :] > 0)
 
-        @pl.when(slot_alive)
-        def _slot():
-            # Level 1: one scalar branch per (slot, triangle tile) — run
-            # the tile only when some still-unblocked segment's slab
-            # interval overlaps the tile AABB (Morton-sorted triangles
-            # keep the AABBs tight). Level 2, inside passing tiles: one
-            # branch per T_SUB chunk, unioned over segments. Branching
-            # per (chunk, segment) instead was measured slower on v5e:
-            # ~5k scalar-predicated regions per grid step cost more than
-            # the culled MT work saved.
-            tile_box = [tile_aabb_ref[c, t_idx] for c in range(6)]
-            segs = []
-            needed = jnp.zeros((), dtype=jnp.bool_)
-            for s in range(k + 1):
-                o = [
-                    seg_scratch[slot, 6 * s + c, :].reshape(1, -1)
-                    for c in range(3)
-                ]
-                d = [
-                    seg_scratch[slot, 6 * s + 3 + c, :].reshape(1, -1)
-                    for c in range(3)
-                ]
-                # Offset the origin to dodge self-intersection at the
-                # segment start (same trick as the mesh-level any-hit).
-                o = [o[c] + d[c] * hit_tol for c in range(3)]
-                segs.append((o, d))
-                needed = needed | jnp.any(
-                    _slab_overlap(o, d, tile_box, thresh) & pending
-                )
+    @pl.when(tile_alive)
+    def _tile():
+        # Level 1: run the tile only when some still-pending segment's
+        # slab interval overlaps the tile AABB (Morton-sorted triangles
+        # keep it tight), tested as ONE dense [C_TILE, tile_r] op over
+        # all slots.
+        tile_box = [tile_aabb_ref[c, t_idx] for c in range(6)]
+        segs = []
+        needed = jnp.zeros((), dtype=jnp.bool_)
+        for s in range(k + 1):
+            o = [seg_scratch[6 * s + c, :, :] for c in range(3)]
+            d = [seg_scratch[6 * s + 3 + c, :, :] for c in range(3)]
+            # Offset the origin to dodge self-intersection at the
+            # segment start (same trick as the mesh-level any-hit).
+            o = [o[c] + d[c] * hit_tol for c in range(3)]
+            segs.append((o, d))
+            needed = needed | jnp.any(
+                _slab_overlap(o, d, tile_box, thresh) & pending0
+            )
 
-            @pl.when(needed)
-            def _blockage():
-                for chunk in range(num_chunks):
-                    sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
-                    g = t_idx * num_chunks + chunk
-                    chunk_box = [chunk_aabb_ref[c, g] for c in range(6)]
-                    pend = jnp.logical_not(mask_ref[0, slot, 0, :]).reshape(1, -1)
-                    chunk_needed = jnp.any(active_ref[0, sl] > 0)
-                    seg_needed = jnp.zeros((), dtype=jnp.bool_)
+        @pl.when(needed)
+        def _blockage():
+            # Inside a firing tile, fall back to per-slot granularity: a
+            # per-slot tile-level slab gate, then that slot's own chunk
+            # loop (exactly the round-4 structure). Firing tiles are the
+            # rare case at scale — dead candidate tiles never reach this
+            # fori — and per-slot culling here is what keeps coherent-RX
+            # coverage workloads fast: gating only at chunk level ran the
+            # per-slot slab math 8x more often (measured slower on (b)),
+            # and gating nothing ran C_TILE x the MT work (measured 2x
+            # slower still).
+            def _blockage_slot(slot, _):
+                pend_row = jnp.logical_not(
+                    blocked_scratch[slot, :]
+                ).reshape(1, -1)
+                # Dead-slot fast path: one mask reduce + branch before any
+                # slab math (most slots of a firing tile are still dead).
+                slot_alive = jnp.any(pend_row)
+
+                @pl.when(slot_alive)
+                def _slot_gate():
+                    slot_needed = jnp.zeros((), dtype=jnp.bool_)
+                    slot_segs = []
                     for s in range(k + 1):
-                        o, d = segs[s]
-                        seg_needed = seg_needed | jnp.any(
-                            _slab_overlap(o, d, chunk_box, thresh) & pend
+                        o = [
+                            (
+                                seg_scratch[6 * s + c, slot, :]
+                                + seg_scratch[6 * s + 3 + c, slot, :]
+                                * hit_tol
+                            ).reshape(1, -1)
+                            for c in range(3)
+                        ]
+                        d = [
+                            seg_scratch[6 * s + 3 + c, slot, :].reshape(
+                                1, -1
+                            )
+                            for c in range(3)
+                        ]
+                        slot_segs.append((o, d))
+                        slot_needed = slot_needed | jnp.any(
+                            _slab_overlap(o, d, tile_box, thresh) & pend_row
                         )
-                    chunk_needed = chunk_needed & seg_needed
 
-                    @pl.when(chunk_needed)
-                    def _chunk(sl=sl):
-                        blocked = mask_ref[0, slot, 0, :]
-                        v0 = [mesh_ref[c, sl].reshape(-1, 1) for c in range(3)]
-                        e1 = [mesh_ref[3 + c, sl].reshape(-1, 1) for c in range(3)]
-                        e2 = [mesh_ref[6 + c, sl].reshape(-1, 1) for c in range(3)]
-                        active = active_ref[0, sl].reshape(-1, 1) > 0
-                        for s in range(k + 1):
-                            o, d = segs[s]
-                            h = [
-                                d[1] * e2[2] - d[2] * e2[1],
-                                d[2] * e2[0] - d[0] * e2[2],
-                                d[0] * e2[1] - d[1] * e2[0],
-                            ]
-                            det = h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
-                            inv = jnp.where(
-                                det == 0.0,
-                                0.0,
-                                1.0 / jnp.where(det == 0.0, 1.0, det),
-                            )
-                            s_vec = [o[c] - v0[c] for c in range(3)]
-                            u = inv * (
-                                s_vec[0] * h[0] + s_vec[1] * h[1] + s_vec[2] * h[2]
-                            )
-                            q = [
-                                s_vec[1] * e1[2] - s_vec[2] * e1[1],
-                                s_vec[2] * e1[0] - s_vec[0] * e1[2],
-                                s_vec[0] * e1[1] - s_vec[1] * e1[0],
-                            ]
-                            v = inv * (q[0] * d[0] + q[1] * d[1] + q[2] * d[2])
-                            tt = inv * (q[0] * e2[0] + q[1] * e2[1] + q[2] * e2[2])
-                            hit = (
-                                (jnp.abs(det) > epsilon)
-                                & (u >= 0.0)
-                                & (u <= 1.0)
-                                & (v >= 0.0)
-                                & (u + v <= 1.0)
-                                & (tt > epsilon)
-                                & (tt < thresh)
-                                & active
-                            )
-                            blocked = blocked | hit.any(axis=0)
-                        mask_ref[0, slot, 0, :] = blocked
+                    @pl.when(slot_needed)
+                    def _slot_chunks(slot_segs=slot_segs):
+                        for chunk in range(num_chunks):
+                            sl = slice(chunk * T_SUB, (chunk + 1) * T_SUB)
+                            g = t_idx * num_chunks + chunk
+                            chunk_box = [chunk_aabb_ref[c, g] for c in range(6)]
+                            pend = jnp.logical_not(
+                                blocked_scratch[slot, :]
+                            ).reshape(1, -1)
+                            chunk_needed = jnp.any(active_ref[0, sl] > 0)
+                            seg_needed = jnp.zeros((), dtype=jnp.bool_)
+                            for s in range(k + 1):
+                                o, d = slot_segs[s]
+                                seg_needed = seg_needed | jnp.any(
+                                    _slab_overlap(o, d, chunk_box, thresh) & pend
+                                )
+                            chunk_needed = chunk_needed & seg_needed
 
-        return None
+                            @pl.when(chunk_needed)
+                            def _chunk(sl=sl):
+                                blocked = blocked_scratch[slot, :]
+                                v0 = [
+                                    mesh_ref[c, sl].reshape(-1, 1)
+                                    for c in range(3)
+                                ]
+                                e1 = [
+                                    mesh_ref[3 + c, sl].reshape(-1, 1)
+                                    for c in range(3)
+                                ]
+                                e2 = [
+                                    mesh_ref[6 + c, sl].reshape(-1, 1)
+                                    for c in range(3)
+                                ]
+                                active = active_ref[0, sl].reshape(-1, 1) > 0
+                                for s in range(k + 1):
+                                    o, d = slot_segs[s]
+                                    h = [
+                                        d[1] * e2[2] - d[2] * e2[1],
+                                        d[2] * e2[0] - d[0] * e2[2],
+                                        d[0] * e2[1] - d[1] * e2[0],
+                                    ]
+                                    det = (
+                                        h[0] * e1[0] + h[1] * e1[1] + h[2] * e1[2]
+                                    )
+                                    inv = jnp.where(
+                                        det == 0.0,
+                                        0.0,
+                                        1.0 / jnp.where(det == 0.0, 1.0, det),
+                                    )
+                                    s_vec = [o[c] - v0[c] for c in range(3)]
+                                    u = inv * (
+                                        s_vec[0] * h[0]
+                                        + s_vec[1] * h[1]
+                                        + s_vec[2] * h[2]
+                                    )
+                                    q = [
+                                        s_vec[1] * e1[2] - s_vec[2] * e1[1],
+                                        s_vec[2] * e1[0] - s_vec[0] * e1[2],
+                                        s_vec[0] * e1[1] - s_vec[1] * e1[0],
+                                    ]
+                                    v = inv * (
+                                        q[0] * d[0] + q[1] * d[1] + q[2] * d[2]
+                                    )
+                                    tt = inv * (
+                                        q[0] * e2[0]
+                                        + q[1] * e2[1]
+                                        + q[2] * e2[2]
+                                    )
+                                    hit = (
+                                        (jnp.abs(det) > epsilon)
+                                        & (u >= 0.0)
+                                        & (u <= 1.0)
+                                        & (v >= 0.0)
+                                        & (u + v <= 1.0)
+                                        & (tt > epsilon)
+                                        & (tt < thresh)
+                                        & active
+                                    )
+                                    blocked = blocked | hit.any(axis=0)
+                                blocked_scratch[slot, :] = blocked
 
-    jax.lax.fori_loop(0, C_TILE, _blockage_slot, None)
+                return None
+
+            jax.lax.fori_loop(0, C_TILE, _blockage_slot, None)
 
     @pl.when(t_idx == pl.num_programs(3) - 1)
     def _finalize():
         def _finalize_slot(slot, _):
             mask_ref[0, slot, 0, :] = geom_scratch[slot, :] & jnp.logical_not(
-                mask_ref[0, slot, 0, :]
+                blocked_scratch[slot, :]
             )
             return None
 
@@ -480,7 +546,8 @@ def _pallas_trace_specular_impl(
         num_rx=num_rx,
     )
     scratch_shapes = [
-        pltpu.VMEM((C_TILE, 6 * (k + 1), tile_r), jnp.float32),
+        pltpu.VMEM((6 * (k + 1), C_TILE, tile_r), jnp.float32),
+        pltpu.VMEM((C_TILE, tile_r), jnp.bool_),
         pltpu.VMEM((C_TILE, tile_r), jnp.bool_),
     ]
 

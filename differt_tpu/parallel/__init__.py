@@ -17,6 +17,7 @@ from ._sharding import (
     shard_along,
     sharded_power_map,
     sharded_trace_paths,
+    streamed_placement_loss,
     streamed_placement_step,
     training_step,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "shard_along",
     "sharded_power_map",
     "sharded_trace_paths",
+    "streamed_placement_loss",
     "streamed_placement_step",
     "training_step",
 ]

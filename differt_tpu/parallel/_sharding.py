@@ -125,6 +125,10 @@ def sharded_power_map(
     """
     from ..em import materials as itu_materials
 
+    # Traced (not a static Python float), matching the coverage entry
+    # points: frequency sweeps re-use one compiled program and the
+    # sharded/unsharded paths round identically.
+    frequency = jnp.asarray(frequency)
     if eta_r is None or conductivity is None:
         names = scene.mesh.material_names or ("Vacuum",)
         eta_r = jnp.array([
@@ -319,7 +323,155 @@ def _jit_tile_grad():
 _TILE_GRAD = None
 
 
-def streamed_placement_step(
+def _streamed_setup(
+    scene,
+    frequency,
+    mesh,
+    tx,
+    eta_r,
+    conductivity,
+    thickness,
+    path_candidates,
+    candidate_chunk,
+    rx_chunk,
+):
+    """Shared padding/replication/tiling setup of the streamed steps."""
+    import differt_tpu.treekit as tk
+
+    from ..coverage import _resolve_materials
+
+    frequency = jnp.asarray(frequency)
+    eta_r, conductivity, thickness = _resolve_materials(
+        scene, frequency, eta_r, conductivity, thickness
+    )
+
+    rx_all = scene.receivers.reshape(-1, 3)
+    num_rx = rx_all.shape[0]
+    rx_chunk = min(rx_chunk, max(num_rx, 1))
+    pad_r = (-num_rx) % rx_chunk
+    if pad_r:
+        rx_all = jnp.concatenate(
+            (rx_all, jnp.broadcast_to(rx_all[:1], (pad_r, 3))), axis=0
+        )
+
+    # One candidate array per interaction order: a sequence streams every
+    # order's chunks through the same per-tile step, so the accumulated
+    # amplitude (and hence the loss and its gradients) is the COHERENT
+    # multi-order sum — the physically meaningful coverage objective.
+    cand_list = (
+        list(path_candidates)
+        if isinstance(path_candidates, (list, tuple))
+        else [path_candidates]
+    )
+    prepared = []
+    for cand in cand_list:
+        cand = jnp.asarray(cand)
+        n = cand.shape[0]
+        chunk = min(candidate_chunk, max(n, 1))
+        pad = (-n) % chunk
+        if pad:
+            cand = jnp.concatenate(
+                (cand, jnp.broadcast_to(cand[:1], (pad, cand.shape[1]))),
+                axis=0,
+            )
+        prepared.append((cand, n, chunk))
+
+    scene_tile = tk.tree_at(
+        lambda s: s.receivers, scene, jnp.zeros((0, 3), rx_all.dtype)
+    )
+    if mesh is not None:
+        scene_tile = replicate(scene_tile, mesh)
+        tx = replicate(tx, mesh)
+        eta_r = replicate(eta_r, mesh)
+        conductivity = replicate(conductivity, mesh)
+
+    def tiles():
+        for row, r0 in enumerate(range(0, rx_all.shape[0], rx_chunk)):
+            rx_tile = rx_all[r0 : r0 + rx_chunk]
+            if mesh is not None:
+                rx_tile = shard_along(rx_tile, mesh, axis=0)
+            for cand, n, chunk in prepared:
+                for c0 in range(0, cand.shape[0], chunk):
+                    chunk_valid = jnp.arange(c0, c0 + chunk) < n
+                    part = cand[c0 : c0 + chunk]
+                    yield (
+                        row,
+                        rx_tile,
+                        part,
+                        jnp.zeros_like(part, dtype=jnp.int32),
+                        chunk_valid,
+                    )
+
+    return (
+        frequency,
+        tx,
+        eta_r,
+        conductivity,
+        thickness,
+        scene_tile,
+        tiles,
+        num_rx,
+        rx_chunk,
+        pad_r,
+    )
+
+
+def _streamed_forward(
+    scene_tile,
+    tiles,
+    tx,
+    frequency,
+    eta_r,
+    conductivity,
+    thickness,
+    num_rx,
+    rx_chunk,
+    megakernel,
+    batch_size,
+):
+    """Pass 1: accumulate the per-pixel coherent amplitude sum tile-wise."""
+    from ..coverage import _coverage_tile
+
+    row_totals: dict[int, Array] = {}
+    for row, rx_tile, cand, it, valid in tiles():
+        part = _coverage_tile(
+            scene_tile,
+            tx,
+            rx_tile,
+            cand,
+            it,
+            valid,
+            frequency,
+            eta_r,
+            conductivity,
+            thickness,
+            None,
+            True,
+            megakernel,
+            batch_size,
+        )
+        row_totals[row] = part if row not in row_totals else row_totals[row] + part
+    total = jnp.concatenate(
+        [row_totals[r] for r in sorted(row_totals)], axis=-1
+    )
+    return total[..., :num_rx]
+
+
+def _placement_loss_fn(target_power):
+    from ..em import z_0
+
+    def loss_of(parts: tuple[Array, Array]) -> Array:
+        re, im = parts
+        power = (re**2 + im**2) / z_0
+        power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
+        if target_power is not None:
+            return jnp.mean((power_db - jnp.asarray(target_power)) ** 2)
+        return -jnp.mean(power_db)
+
+    return loss_of
+
+
+def streamed_placement_loss(
     scene: Scene,
     frequency: Float[ArrayLike, ""],
     mesh: Mesh | None,
@@ -328,7 +480,72 @@ def streamed_placement_step(
     eta_r: Float[Array, " num_materials"],
     conductivity: Float[Array, " num_materials"],
     thickness: Float[Array, " num_materials"] | None = None,
-    path_candidates: Array,
+    path_candidates: Array | Sequence[Array],
+    candidate_chunk: int = 256,
+    rx_chunk: int = 8192,
+    target_power: Float[Array, "..."] | None = None,
+    megakernel: bool | None = None,
+    batch_size: int | None = 512,
+) -> Float[Array, ""]:
+    """The streamed placement LOSS at ``tx`` — no gradient pass.
+
+    Identical forward semantics to :func:`streamed_placement_step` (same
+    tiling, same coherent accumulation, same dB loss), exposed separately
+    so a finite-difference probe can evaluate the loss at perturbed TX
+    positions and anchor the streamed gradient's direction (the chip-side
+    check recorded by ``scaling.py --config5``).
+    """
+    (
+        frequency,
+        tx,
+        eta_r,
+        conductivity,
+        thickness,
+        scene_tile,
+        tiles,
+        num_rx,
+        rx_chunk,
+        _,
+    ) = _streamed_setup(
+        scene,
+        frequency,
+        mesh,
+        tx,
+        eta_r,
+        conductivity,
+        thickness,
+        path_candidates,
+        candidate_chunk,
+        rx_chunk,
+    )
+    total = _streamed_forward(
+        scene_tile,
+        tiles,
+        tx,
+        frequency,
+        eta_r,
+        conductivity,
+        thickness,
+        num_rx,
+        rx_chunk,
+        megakernel,
+        batch_size,
+    )
+    loss_of = _placement_loss_fn(target_power)
+    return loss_of((jnp.real(total), jnp.imag(total)))
+
+
+def streamed_placement_step(
+
+    scene: Scene,
+    frequency: Float[ArrayLike, ""],
+    mesh: Mesh | None,
+    *,
+    tx: Float[Array, "num_tx 3"],
+    eta_r: Float[Array, " num_materials"],
+    conductivity: Float[Array, " num_materials"],
+    thickness: Float[Array, " num_materials"] | None = None,
+    path_candidates: Array | Sequence[Array],
     candidate_chunk: int = 256,
     rx_chunk: int = 8192,
     target_power: Float[Array, "..."] | None = None,
@@ -363,103 +580,50 @@ def streamed_placement_step(
     and materials stay replicated, so XLA all-reduces their per-tile
     gradients over ICI inside the jitted tile step.
     """
-    import differt_tpu.treekit as tk
-
-    from ..coverage import _coverage_tile, _resolve_materials
-    from ..em import z_0
-
     global _TILE_GRAD
     if _TILE_GRAD is None:
         _TILE_GRAD = _jit_tile_grad()
 
-    frequency = jnp.asarray(frequency)
-    eta_r, conductivity, thickness = _resolve_materials(
-        scene, frequency, eta_r, conductivity, thickness
+    (
+        frequency,
+        tx,
+        eta_r,
+        conductivity,
+        thickness,
+        scene_tile,
+        tiles,
+        num_rx,
+        rx_chunk,
+        pad_r,
+    ) = _streamed_setup(
+        scene,
+        frequency,
+        mesh,
+        tx,
+        eta_r,
+        conductivity,
+        thickness,
+        path_candidates,
+        candidate_chunk,
+        rx_chunk,
     )
 
-    rx_all = scene.receivers.reshape(-1, 3)
-    num_rx = rx_all.shape[0]
-    rx_chunk = min(rx_chunk, max(num_rx, 1))
-    pad_r = (-num_rx) % rx_chunk
-    if pad_r:
-        rx_all = jnp.concatenate(
-            (rx_all, jnp.broadcast_to(rx_all[:1], (pad_r, 3))), axis=0
-        )
-
-    candidates = jnp.asarray(path_candidates)
-    num_candidates = candidates.shape[0]
-    candidate_chunk = min(candidate_chunk, max(num_candidates, 1))
-    pad_c = (-num_candidates) % candidate_chunk
-    if pad_c:
-        candidates = jnp.concatenate(
-            (
-                candidates,
-                jnp.broadcast_to(candidates[:1], (pad_c, candidates.shape[1])),
-            ),
-            axis=0,
-        )
-    itypes = jnp.zeros_like(candidates, dtype=jnp.int32)
-
-    scene_tile = tk.tree_at(
-        lambda s: s.receivers, scene, jnp.zeros((0, 3), rx_all.dtype)
+    total = _streamed_forward(
+        scene_tile,
+        tiles,
+        tx,
+        frequency,
+        eta_r,
+        conductivity,
+        thickness,
+        num_rx,
+        rx_chunk,
+        megakernel,
+        batch_size,
     )
-    if mesh is not None:
-        scene_tile = replicate(scene_tile, mesh)
-        tx = replicate(tx, mesh)
-        eta_r = replicate(eta_r, mesh)
-        conductivity = replicate(conductivity, mesh)
-
-    def tiles():
-        for row, r0 in enumerate(range(0, rx_all.shape[0], rx_chunk)):
-            rx_tile = rx_all[r0 : r0 + rx_chunk]
-            if mesh is not None:
-                rx_tile = shard_along(rx_tile, mesh, axis=0)
-            for c0 in range(0, candidates.shape[0], candidate_chunk):
-                chunk_valid = (
-                    jnp.arange(c0, c0 + candidate_chunk) < num_candidates
-                )
-                yield (
-                    row,
-                    rx_tile,
-                    candidates[c0 : c0 + candidate_chunk],
-                    itypes[c0 : c0 + candidate_chunk],
-                    chunk_valid,
-                )
-
-    # Pass 1: forward accumulation of the per-pixel amplitude sum.
-    num_row_tiles = rx_all.shape[0] // rx_chunk
-    row_totals: list[Array | None] = [None] * num_row_tiles
-    for row, rx_tile, cand, it, valid in tiles():
-        part = _coverage_tile(
-            scene_tile,
-            tx,
-            rx_tile,
-            cand,
-            it,
-            valid,
-            frequency,
-            eta_r,
-            conductivity,
-            thickness,
-            None,
-            True,
-            megakernel,
-            batch_size,
-        )
-        row_totals[row] = (
-            part if row_totals[row] is None else row_totals[row] + part
-        )
-    total = jnp.concatenate(row_totals, axis=-1)[..., :num_rx]
 
     # Pass 2: loss + cotangent on the accumulated totals only.
-    def loss_of(parts: tuple[Array, Array]) -> Array:
-        re, im = parts
-        power = (re**2 + im**2) / z_0
-        power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
-        if target_power is not None:
-            return jnp.mean((power_db - jnp.asarray(target_power)) ** 2)
-        return -jnp.mean(power_db)
-
+    loss_of = _placement_loss_fn(target_power)
     loss, (g_re, g_im) = jax.value_and_grad(loss_of)(
         (jnp.real(total), jnp.imag(total))
     )

@@ -137,6 +137,8 @@ def draw_markers(
     >>> fig = draw_markers(np.zeros((2, 3)), backend="matplotlib")
     >>> type(fig).__name__
     'Figure'
+    >>> import matplotlib.pyplot as plt
+    >>> plt.close(fig)
     """
     backend = get_backend(backend)
     kwargs = merged_kwargs(backend, kwargs)

@@ -34,6 +34,7 @@ from ._mixed import (
 from ._mlm import compute_tx_mlm
 from ._scattering import (
     ScatteringPathTracer,
+    directive_pattern_normalization,
     scattering_amplitudes,
     triangle_sample_points,
 )
@@ -69,6 +70,7 @@ __all__ = [
     "SBRPathLauncher",
     "ScatteringPathTracer",
     "SizedIterator",
+    "directive_pattern_normalization",
     "scattering_amplitudes",
     "triangle_sample_points",
     "compute_tx_mlm",

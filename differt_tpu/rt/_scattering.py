@@ -29,6 +29,8 @@ deterministic propagation phase ``e^{-jk(r_i + r_s)}`` so callers may sum
 coherently or incoherently as they see fit (Sionna RT does the same).
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jaxtyping import Array, ArrayLike, Complex, Float, Int
@@ -207,6 +209,52 @@ def _trace_scattering(
 
 
 @tk.filter_jit
+def directive_pattern_normalization(
+    alpha_r: int, cos_theta_i: Float[ArrayLike, " *batch"]
+) -> Float[Array, " *batch"]:
+    r"""Hemisphere integral of the directive lobe ``((1+cos psi)/2)^alpha``.
+
+    The closed form of Degli-Esposti et al., "Measurement and modelling of
+    scattering from buildings", IEEE Trans. AP 55(1), 2007, eqs. (9)-(11):
+    with the lobe axis (the specular direction) tilted ``theta_i`` from the
+    surface normal,
+
+    .. math::
+        F_{\alpha} = \frac{1}{2^{\alpha}} \sum_{j=0}^{\alpha}
+        \binom{\alpha}{j} I_j,\qquad
+        I_j = \frac{2\pi}{j+1} \times \begin{cases}
+        1 & j\ \text{even}\\
+        \cos\theta_i \sum_{w=0}^{(j-1)/2} \binom{2w}{w}
+        \big(\tfrac{\sin^2\theta_i}{4}\big)^w & j\ \text{odd}
+        \end{cases}
+
+    (even moments of :math:`\cos\psi` are antipodally symmetric so the
+    tilted hemisphere integral equals half the full-sphere value; odd
+    moments carry the tilt). Dividing the lobe by ``F_alpha`` makes the
+    scattered power integrate to exactly the ``S^2``-budgeted fraction at
+    EVERY incidence angle — pinned against independent quadrature in
+    tests/test_em_published.py.
+
+    >>> import jax.numpy as jnp
+    >>> f1 = directive_pattern_normalization(1, jnp.array(1.0))
+    >>> bool(jnp.isclose(f1, 4.0 * jnp.pi / 2.0 * (1.0 - 0.25)))  # 1.5 pi
+    True
+    """
+    cos_theta_i = jnp.asarray(cos_theta_i)
+    sin_sq = jnp.clip(1.0 - cos_theta_i**2, 0.0, 1.0)
+    total = jnp.zeros_like(cos_theta_i)
+    for j in range(alpha_r + 1):
+        if j % 2 == 0:
+            i_j = jnp.full_like(cos_theta_i, 2.0 * jnp.pi / (j + 1.0))
+        else:
+            series = jnp.zeros_like(cos_theta_i)
+            for w in range((j - 1) // 2 + 1):
+                series = series + math.comb(2 * w, w) * (sin_sq / 4.0) ** w
+            i_j = (2.0 * jnp.pi / (j + 1.0)) * cos_theta_i * series
+        total = total + math.comb(alpha_r, j) * i_j
+    return total / (2.0**alpha_r)
+
+
 def scattering_amplitudes(
     paths: TracedPaths,
     scene,
@@ -306,17 +354,16 @@ def scattering_amplitudes(
         pattern = cos_theta_s / jnp.pi
     else:
         # Directive Degli-Esposti lobe around the specular direction,
-        # normalized by F_alpha = 2 pi / (sum_j C(a, j) ...); use the
-        # closed form: integral over hemisphere of ((1+cos psi)/2)^a equals
-        # 2 pi / (a + 1) * (approximately, exact for normal incidence);
-        # we use the exact normal-incidence normalization, the standard
-        # practice (Degli-Esposti et al. 2007, eq. 11 with theta_i = 0).
+        # divided by the published incidence-angle-dependent hemisphere
+        # normalization F_alpha (Degli-Esposti et al. 2007, eqs. 9-11 —
+        # see directive_pattern_normalization; an earlier revision used
+        # 2 pi / (alpha + 1), which is off by 1.5x at alpha = 1).
         k_dot_n = dot3(k_in, normals)
         reflected = tuple(
             k_in[a] - 2.0 * k_dot_n * normals[a] for a in range(3)
         )
         cos_psi = jnp.clip(dot3(reflected, k_out), -1.0, 1.0)
-        norm_const = 2.0 * jnp.pi / (alpha_r + 1.0)
+        norm_const = directive_pattern_normalization(alpha_r, cos_theta_i)
         pattern = ((1.0 + cos_psi) / 2.0) ** alpha_r / norm_const
 
     amp_sq = (

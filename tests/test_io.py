@@ -245,3 +245,158 @@ class TestSceneExport:
             np.asarray(p2.masked_vertices),
             atol=1e-5,
         )
+
+
+class TestSionnaXmlReferenceCorpus:
+    """Independent (non-round-trip) XML parse oracle.
+
+    Every case transcribes a snippet + expected values from the
+    reference's Rust test corpus (differt-core/src/geometry/sionna.rs:
+    396-767): per-ITU-material ``itu-radio-material`` bsdfs and the
+    twosided/diffuse structures, asserted to parse to the same
+    name/color values the Rust tests assert.
+    """
+
+    # (snippet id attr, itu type string, expected color) — one row per
+    # Rust `deserializes_itu_*` test (sionna.rs:482-745).
+    ITU_CASES = [
+        ("marble", "marble", (0.701, 0.644, 0.485)),
+        ("concrete", "concrete", (0.539, 0.539, 0.539)),
+        ("wood", "wood", (0.266, 0.109, 0.060)),
+        ("metal", "metal", (0.220, 0.220, 0.254)),
+        ("brick", "brick", (0.402, 0.112, 0.087)),
+        ("glass", "glass", (0.168, 0.139, 0.509)),
+        ("floorboard", "floorboard", (0.539, 0.386, 0.025)),
+        ("ceiling", "ceiling_board", (0.376, 0.539, 0.117)),
+        ("chipboard", "chipboard", (0.509, 0.159, 0.323)),
+        ("plasterboard", "plasterboard", (0.051, 0.539, 0.133)),
+        ("plywood", "plywood", (0.136, 0.076, 0.539)),
+        ("ground", "very_dry_ground", (0.539, 0.319, 0.223)),
+        ("ground", "medium_dry_ground", (0.539, 0.181, 0.076)),
+        ("ground", "wet_ground", (0.539, 0.027, 0.147)),
+        ("vacuum", "vacuum", (0.8, 0.8, 0.8)),
+        ("acrylic", "clear_acrylic", (0.198, 0.804, 0.818)),
+        ("vinyl", "vinyl_tile", (0.334, 0.046, 0.670)),
+        ("carpet", "carpet_tile", (0.836, 0.419, 0.888)),
+        ("asphalt", "asphalt_concrete", (0.119, 0.282, 0.297)),
+    ]
+
+    @staticmethod
+    def _parse(tmp_path, body: str):
+        path = tmp_path / "scene.xml"
+        path.write_text(f'<scene version="2.1.0">{body}</scene>')
+        return SionnaScene.load_xml(path)
+
+    @pytest.mark.parametrize("bsdf_id,itu_type,color", ITU_CASES)
+    def test_itu_material(self, tmp_path, bsdf_id, itu_type, color) -> None:
+        scene = self._parse(
+            tmp_path,
+            f'<bsdf type="itu-radio-material" id="{bsdf_id}">'
+            f'<string name="type" value="{itu_type}"/></bsdf>',
+        )
+        mat = scene.materials[bsdf_id]
+        assert mat.name == f"itu_{itu_type}"
+        np.testing.assert_allclose(mat.color, color, rtol=1e-6)
+
+    def test_twosided_without_rgb(self, tmp_path) -> None:
+        # sionna.rs:400-414 — "mat-" prefix stripped, default black.
+        scene = self._parse(
+            tmp_path,
+            '<bsdf type="twosided" id="mat-wall"><bsdf type="diffuse"/></bsdf>',
+        )
+        mat = scene.materials["mat-wall"]
+        assert (mat.name, mat.id) == ("wall", "mat-wall")
+        assert mat.color == (0.0, 0.0, 0.0)
+        assert mat.thickness is None
+
+    def test_diffuse_without_rgb(self, tmp_path) -> None:
+        # sionna.rs:416-428.
+        scene = self._parse(tmp_path, '<bsdf type="diffuse" id="default-bsdf"/>')
+        mat = scene.materials["default-bsdf"]
+        assert mat.name == "default-bsdf"
+        assert mat.color == (0.0, 0.0, 0.0)
+
+    def test_diffuse_with_rgb(self, tmp_path) -> None:
+        # sionna.rs:430-444.
+        scene = self._parse(
+            tmp_path,
+            '<bsdf type="diffuse" id="mat-concrete">'
+            '<rgb value="0.539 0.539 0.539"/></bsdf>',
+        )
+        mat = scene.materials["mat-concrete"]
+        assert mat.name == "concrete"
+        np.testing.assert_allclose(mat.color, (0.539, 0.539, 0.539))
+
+    def test_twosided_nested_diffuse_rgb(self, tmp_path) -> None:
+        # sionna.rs:446-482 (glass + wood variants).
+        scene = self._parse(
+            tmp_path,
+            '<bsdf type="twosided" id="mat-glass"><bsdf type="diffuse">'
+            '<rgb value="0.168 0.139 0.509"/></bsdf></bsdf>',
+        )
+        mat = scene.materials["mat-glass"]
+        assert mat.name == "glass"
+        np.testing.assert_allclose(mat.color, (0.168, 0.139, 0.509))
+
+    def test_itu_unknown_type_defaults_black(self, tmp_path) -> None:
+        # sionna.rs:747-764 — unknown types warn and default to black.
+        with pytest.warns(UserWarning, match="unknown material type"):
+            scene = self._parse(
+                tmp_path,
+                '<bsdf type="itu-radio-material" id="unknown">'
+                '<string name="type" value="unknown_material_type"/></bsdf>',
+            )
+        mat = scene.materials["unknown"]
+        assert mat.name == "itu_unknown_material_type"
+        assert mat.color == (0.0, 0.0, 0.0)
+
+    def test_itu_with_thickness(self, tmp_path) -> None:
+        # sionna.rs:766-783 parses the same snippet; the reference SKIPS
+        # the thickness (asserts None) — this repo deliberately parses it
+        # (the DeepMIMO slab pipeline consumes it), so pin OUR behavior
+        # while matching the Rust-asserted name/color.
+        scene = self._parse(
+            tmp_path,
+            '<bsdf type="itu-radio-material" id="window">'
+            '<string name="type" value="glass"/>'
+            '<float name="thickness" value="0.01"/></bsdf>',
+        )
+        mat = scene.materials["window"]
+        assert mat.name == "itu_glass"
+        np.testing.assert_allclose(mat.color, (0.168, 0.139, 0.509))
+        assert mat.thickness == pytest.approx(0.01)
+
+    def test_mat_prefix_rules(self, tmp_path) -> None:
+        # sionna.rs:786-825 & 851-869: only one leading "mat-" stripped,
+        # other prefixes kept as-is.
+        scene = self._parse(
+            tmp_path,
+            '<bsdf type="diffuse" id="simple_name"/>'
+            '<bsdf type="diffuse" id="custom-prefix-test"/>'
+            '<bsdf type="twosided" id="mat-mat-double"><bsdf type="diffuse">'
+            '<rgb value="0.5 0.5 0.5"/></bsdf></bsdf>',
+        )
+        assert scene.materials["simple_name"].name == "simple_name"
+        assert scene.materials["custom-prefix-test"].name == "custom-prefix-test"
+        assert scene.materials["mat-mat-double"].name == "mat-double"
+
+    def test_real_world_sionna_materials(self, tmp_path) -> None:
+        # sionna.rs:871-911 — verbatim snippets from the upstream
+        # simple_street_canyon scene.
+        scene = self._parse(
+            tmp_path,
+            '<bsdf type="twosided" id="mat-itu_glass"><bsdf type="diffuse">'
+            '<rgb value="0.212230 0.564711 0.799103"/></bsdf></bsdf>'
+            '<bsdf type="twosided" id="mat-itu_wood"><bsdf type="diffuse">'
+            '<rgb value="0.508881 0.168269 0.059511"/></bsdf></bsdf>',
+        )
+        glass = scene.materials["mat-itu_glass"]
+        assert glass.name == "itu_glass"
+        np.testing.assert_allclose(
+            glass.color, (0.212230, 0.564711, 0.799103), rtol=1e-6
+        )
+        wood = scene.materials["mat-itu_wood"]
+        assert wood.name == "itu_wood"
+        np.testing.assert_allclose(
+            wood.color, (0.508881, 0.168269, 0.059511), rtol=1e-6
+        )

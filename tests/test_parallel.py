@@ -169,6 +169,7 @@ class TestPlacementTraining:
         )
 
 
+@pytest.mark.slow
 class TestMultiProcessDistributed:
     """Real 2-process jax.distributed run on CPU (SURVEY section 4 pattern).
 
@@ -231,6 +232,7 @@ class TestMultiProcessDistributed:
         assert results[0][2] != 0.0
 
 
+@pytest.mark.slow
 class TestStreamedPlacement:
     """Chunked-VJP placement step vs the unstreamed one (city-scale path)."""
 
