@@ -137,8 +137,13 @@ def complex_amplitudes(
             n_r_tri = jnp.broadcast_to(n_complex[0], (normals_t.shape[0],))
             thick_tri = jnp.broadcast_to(thickness[0], (normals_t.shape[0],))
         else:
-            n_r_tri = jnp.take(n_complex, face_materials, axis=0)
-            thick_tri = jnp.take(thickness, face_materials, axis=0)
+            # mode="clip": a face material index beyond the supplied
+            # table (a caller passing fewer entries than the mesh has
+            # materials) clamps to the last entry instead of JAX's
+            # default out-of-bounds NaN fill — one NaN amplitude would
+            # otherwise poison the whole coherent pixel sum.
+            n_r_tri = jnp.take(n_complex, face_materials, axis=0, mode="clip")
+            thick_tri = jnp.take(thickness, face_materials, axis=0, mode="clip")
         table = jnp.concatenate(
             (
                 normals_t.astype(jnp.float32),
@@ -203,7 +208,6 @@ def complex_amplitudes(
     return a * weight
 
 
-@eqx.filter_jit
 def received_power(
     paths: TracedPaths,
     scene: Scene,
@@ -218,7 +222,34 @@ def received_power(
     """Received power per TX/RX pair (coherent or non-coherent path sum).
 
     The last batch axis of ``paths`` (the candidate axis) is reduced.
+    The frequency is traced (see :func:`power_map_chunked`): sweeps reuse
+    one compiled program and the result rounds identically to the other
+    coverage entry points.
     """
+    return _received_power_impl(
+        paths,
+        scene,
+        jnp.asarray(frequency),
+        eta_r=eta_r,
+        conductivity=conductivity,
+        thickness=thickness,
+        coherent=coherent,
+        tx_pattern=tx_pattern,
+    )
+
+
+@eqx.filter_jit
+def _received_power_impl(
+    paths: TracedPaths,
+    scene: Scene,
+    frequency: Float[Array, ""],
+    *,
+    eta_r: Float[ArrayLike, " num_materials"],
+    conductivity: Float[ArrayLike, " num_materials"],
+    thickness: Float[ArrayLike, " num_materials"] | None = None,
+    coherent: bool = True,
+    tx_pattern=None,
+) -> Float[Array, "*reduced_batch"]:
     a = complex_amplitudes(
         paths,
         scene,

@@ -69,12 +69,35 @@ def _smem_spec(block_shape, index_map):
 
 MAX_TILE_R = 1024
 MAX_TILE_T = 512
-C_TILE = 64
+MAX_C_TILE = 64
+# VMEM budget for one grid step's resident blocks + scratch (the chip has
+# 16 MB/core; leave headroom for Mosaic's own buffers and the small SMEM
+# operands). The C_TILE sweep plateaus at 64 on the XL city, but order-3
+# and 1024-wide RX tiles need the smaller sizes to fit.
+_VMEM_BUDGET_BYTES = 12 * 2**20
 T_SUB = 64  # Triangle sublane-chunk size in the blockage phase.
 
 
 def _dot3(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _pick_c_tile(k: int, tile_r: int, tile_t: int, vert_rows: int) -> int:
+    """Largest candidate-slot count whose blocks + scratch fit in VMEM.
+
+    Counts the double-buffered output blocks (vertices + mask), the
+    segment/flag scratch planes, the mesh/active blocks, and the RX block.
+    """
+    for c in (MAX_C_TILE, 32, 16, 8):
+        verts = c * vert_rows * tile_r * 4 * 2
+        mask = c * 8 * tile_r * 2
+        seg = 6 * (k + 1) * c * tile_r * 4
+        flags = 2 * c * tile_r
+        mesh = (9 * tile_t * 4 + tile_t * 4) * 2
+        rx = 4 * tile_r * 4 * 2
+        if verts + mask + seg + flags + mesh + rx <= _VMEM_BUDGET_BYTES:
+            return c
+    return 8
 
 
 def _trace_kernel(
@@ -98,6 +121,7 @@ def _trace_kernel(
     hit_tol: float,
     min_len: float,
     num_rx: int,
+    c_tile: int,
 ):
     k = order
     t_idx = pl.program_id(3)
@@ -255,7 +279,7 @@ def _trace_kernel(
             ) | jnp.logical_not(geom)
             return None
 
-        jax.lax.fori_loop(0, C_TILE, _geometry_slot, None)
+        jax.lax.fori_loop(0, c_tile, _geometry_slot, None)
 
     # Blockage phase: any-hit of every segment against this triangle tile.
     # The tile-level gates are vectorized across ALL candidate slots at
@@ -428,7 +452,7 @@ def _trace_kernel(
 
                 return None
 
-            jax.lax.fori_loop(0, C_TILE, _blockage_slot, None)
+            jax.lax.fori_loop(0, c_tile, _blockage_slot, None)
 
     @pl.when(t_idx == pl.num_programs(3) - 1)
     def _finalize():
@@ -438,7 +462,7 @@ def _trace_kernel(
             )
             return None
 
-        jax.lax.fori_loop(0, C_TILE, _finalize_slot, None)
+        jax.lax.fori_loop(0, c_tile, _finalize_slot, None)
 
 
 @functools.partial(
@@ -483,7 +507,14 @@ def _pallas_trace_specular_impl(
     tile_t = min(MAX_TILE_T, pl.cdiv(max(num_tris, 1), T_SUB) * T_SUB)
     rx_padded = pl.cdiv(max(num_rx, 1), tile_r) * tile_r
     tris_padded = pl.cdiv(max(num_tris, 1), tile_t) * tile_t
-    cand_padded = pl.cdiv(max(num_cand, 1), C_TILE) * C_TILE
+    vert_rows_probe = -(-3 * (k + 2) // 8) * 8
+    c_tile = _pick_c_tile(
+        k,
+        min(MAX_TILE_R, pl.cdiv(max(num_rx, 1), 256) * 256),
+        min(MAX_TILE_T, pl.cdiv(max(num_tris, 1), T_SUB) * T_SUB),
+        vert_rows_probe,
+    )
+    cand_padded = pl.cdiv(max(num_cand, 1), c_tile) * c_tile
 
     # Mosaic block rule: the last two block dims must divide (8, 128) or
     # equal the full array dims — hence SMEM scalars, 4-row RX, and
@@ -530,7 +561,7 @@ def _pallas_trace_specular_impl(
 
     grid = (
         num_tx,
-        cand_padded // C_TILE,
+        cand_padded // c_tile,
         rx_padded // tile_r,
         tris_padded // tile_t,
     )
@@ -544,11 +575,12 @@ def _pallas_trace_specular_impl(
         hit_tol=hit_tol,
         min_len=min_len,
         num_rx=num_rx,
+        c_tile=c_tile,
     )
     scratch_shapes = [
-        pltpu.VMEM((6 * (k + 1), C_TILE, tile_r), jnp.float32),
-        pltpu.VMEM((C_TILE, tile_r), jnp.bool_),
-        pltpu.VMEM((C_TILE, tile_r), jnp.bool_),
+        pltpu.VMEM((6 * (k + 1), c_tile, tile_r), jnp.float32),
+        pltpu.VMEM((c_tile, tile_r), jnp.bool_),
+        pltpu.VMEM((c_tile, tile_r), jnp.bool_),
     ]
 
     verts, mask = pl.pallas_call(
@@ -567,9 +599,9 @@ def _pallas_trace_specular_impl(
             # it per-tx would need an illegal (1, 8) block when num_tx > 1.
             _smem_spec((num_tx, 8), lambda a, c, i, t: (0, 0)),
             _vmem_spec((4, tile_r), lambda a, c, i, t: (0, i)),
-            _smem_spec((C_TILE, k, 8), lambda a, c, i, t: (c, 0, 0)),
+            _smem_spec((c_tile, k, 8), lambda a, c, i, t: (c, 0, 0)),
             _smem_spec(
-                (C_TILE, tris_per_mirror * k, 12), lambda a, c, i, t: (c, 0, 0)
+                (c_tile, tris_per_mirror * k, 12), lambda a, c, i, t: (c, 0, 0)
             ),
             _vmem_spec((9, tile_t), lambda a, c, i, t: (0, t)),
             _vmem_spec((1, tile_t), lambda a, c, i, t: (0, t)),
@@ -578,10 +610,10 @@ def _pallas_trace_specular_impl(
         ],
         out_specs=(
             _vmem_spec(
-                (1, C_TILE, vert_rows, tile_r), lambda a, c, i, t: (a, c, 0, i)
+                (1, c_tile, vert_rows, tile_r), lambda a, c, i, t: (a, c, 0, i)
             ),
             _vmem_spec(
-                (1, C_TILE, 8, tile_r), lambda a, c, i, t: (a, c, 0, i)
+                (1, c_tile, 8, tile_r), lambda a, c, i, t: (a, c, 0, i)
             ),
         ),
         scratch_shapes=scratch_shapes,

@@ -486,7 +486,8 @@ def streamed_placement_loss(
     target_power: Float[Array, "..."] | None = None,
     megakernel: bool | None = None,
     batch_size: int | None = 512,
-) -> Float[Array, ""]:
+    return_db_map: bool = False,
+) -> Float[Array, "..."]:
     """The streamed placement LOSS at ``tx`` — no gradient pass.
 
     Identical forward semantics to :func:`streamed_placement_step` (same
@@ -494,6 +495,12 @@ def streamed_placement_loss(
     so a finite-difference probe can evaluate the loss at perturbed TX
     positions and anchor the streamed gradient's direction (the chip-side
     check recorded by ``scaling.py --config5``).
+
+    With ``return_db_map=True`` the UNREDUCED per-pixel dB power
+    ``[num_tx, num_rx]`` is returned instead of its mean: a
+    finite-difference probe whose loss delta is a few float32 ULPs of the
+    mean (the city-scale situation: ``|g| h ~ 1e-4`` against a ~260 dB
+    mean) must take the mean in float64 on the host to resolve it.
     """
     (
         frequency,
@@ -531,6 +538,12 @@ def streamed_placement_loss(
         megakernel,
         batch_size,
     )
+    if return_db_map:
+        power = (jnp.real(total) ** 2 + jnp.imag(total) ** 2)
+        from ..em import z_0
+
+        power = power / z_0
+        return 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
     loss_of = _placement_loss_fn(target_power)
     return loss_of((jnp.real(total), jnp.imag(total)))
 

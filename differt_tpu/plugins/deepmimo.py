@@ -340,8 +340,8 @@ def export(
             e_theta, e_phi = transition_apply(
                 batch.vertices,
                 jnp.take(scene.mesh.normals, bounce_objects, axis=0),
-                jnp.take(n_complex, slab_ids, axis=0),
-                jnp.take(thickness, slab_ids, axis=0),
+                jnp.take(n_complex, slab_ids, axis=0, mode="clip"),
+                jnp.take(thickness, slab_ids, axis=0, mode="clip"),
                 wavelength,
                 e_theta,
                 e_phi,

@@ -501,8 +501,8 @@ def _mixed_amplitudes(
                 mat = jnp.zeros_like(obj)
             else:
                 mat = jnp.take(face_materials, obj, axis=0).clip(min=0)
-            n_r_val = jnp.take(n_complex, mat, axis=0)
-            thick_val = jnp.take(thickness, mat, axis=0)
+            n_r_val = jnp.take(n_complex, mat, axis=0, mode="clip")
+            thick_val = jnp.take(thickness, mat, axis=0, mode="clip")
             cos_theta_i = dot(normal, -k_in)
             r_s, r_p = slab_reflection_coefficients(
                 n_r_val, cos_theta_i, thick_val, wavelength
@@ -571,8 +571,8 @@ def _mixed_amplitudes(
             else:
                 mat_o = jnp.take(face_materials, o_face.clip(min=0), axis=0).clip(min=0)
                 mat_n = jnp.take(face_materials, n_face.clip(min=0), axis=0).clip(min=0)
-            n_r_o = jnp.take(n_complex, mat_o, axis=0)
-            n_r_n = jnp.take(n_complex, mat_n, axis=0)
+            n_r_o = jnp.take(n_complex, mat_o, axis=0, mode="clip")
+            n_r_n = jnp.take(n_complex, mat_n, axis=0, mode="clip")
             r_o = reflection_coefficients(n_r_o, jnp.abs(jnp.sin(phi_i)))
             r_n = reflection_coefficients(
                 n_r_n, jnp.abs(jnp.sin(n_param * jnp.pi - phi_d))

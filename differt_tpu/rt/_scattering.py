@@ -324,8 +324,9 @@ def scattering_amplitudes(
         mat_t = jnp.zeros(normals_t.shape[0], dtype=jnp.int32)
     else:
         mat_t = face_materials.clip(min=0)
-    n_r_t = jnp.take(n_complex, mat_t, axis=0)
-    s_t = jnp.take(s_coeff, mat_t, axis=0)
+    # clip: an index beyond the table clamps instead of NaN-filling.
+    n_r_t = jnp.take(n_complex, mat_t, axis=0, mode="clip")
+    s_t = jnp.take(s_coeff, mat_t, axis=0, mode="clip")
     table = jnp.concatenate(
         (
             normals_t.astype(jnp.float32),

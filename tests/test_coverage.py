@@ -251,3 +251,42 @@ class TestPowerMapChunked:
         )
         assert out.shape == (1, 1)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_undersized_material_table_clamps_not_nan() -> None:
+    """A material table shorter than the mesh's material count must clamp
+    (documented) rather than NaN-fill via JAX's out-of-bounds gather — one
+    NaN amplitude poisons the whole coherent pixel sum (found on bruxelles,
+    whose CONCRETE ground is material index 1)."""
+    import differt_tpu.treekit as tk
+    from differt_tpu.coverage import power_map
+    from differt_tpu.geometry import Mesh, Scene
+
+    wall = Mesh.plane(
+        jnp.array([0.0, 2.0, 1.0]),
+        normal=jnp.array([0.0, -1.0, 0.0]),
+        side_length=8.0,
+    ).set_materials("itu_brick")
+    ground = Mesh.plane(
+        jnp.array([0.0, 0.0, 0.0]),
+        normal=jnp.array([0.0, 0.0, 1.0]),
+        side_length=8.0,
+    ).set_materials("itu_concrete")
+    mesh = wall + ground
+    assert len(mesh.material_names) == 2
+    scene = Scene(
+        transmitters=jnp.array([[-2.0, 0.0, 1.0]]),
+        receivers=jnp.array([[2.0, 0.0, 1.0]]),
+        mesh=mesh,
+    )
+    # Table of length 1 for a 2-material mesh: ground bounces clamp to
+    # entry 0 instead of gathering NaN.
+    out = power_map(
+        scene,
+        2.4e9,
+        order=1,
+        eta_r=jnp.array([5.24]),
+        conductivity=jnp.array([0.12]),
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert bool(jnp.any(out > 0.0))

@@ -67,3 +67,30 @@ def test_module_doctests(name):
     )
     assert results.failed == 0, f"{results.failed} doctest failures in {name}"
     assert results.attempted > 0, f"{name} has no doctest examples"
+
+
+TUTORIAL_FILES = [
+    "docs/tutorials/cityscale_optimization.md",
+]
+
+
+@pytest.mark.slow  # ~2 min: full streamed-gradient + FD walkthrough.
+@pytest.mark.parametrize("relpath", TUTORIAL_FILES)
+def test_tutorial_doctests(relpath):
+    """Tutorial pages with ``>>>`` blocks execute end-to-end.
+
+    (The other tutorial pages use fenced non-doctest code blocks mirroring
+    the runnable scripts in examples/; pages written in doctest style are
+    executed here directly.)
+    """
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / relpath
+    results = doctest.testfile(
+        str(path),
+        module_relative=False,
+        optionflags=doctest.NORMALIZE_WHITESPACE | doctest.ELLIPSIS,
+        verbose=False,
+    )
+    assert results.failed == 0, f"{results.failed} doctest failures in {relpath}"
+    assert results.attempted > 0, f"{relpath} has no doctest examples"
