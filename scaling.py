@@ -190,6 +190,12 @@ def run_config5(
         _strided_candidates(num_triangles, 2, grad_shard),
     ]
 
+    # The tile VJP holds the traced-path residuals ([tx, rx, cand, L, 3]
+    # with (8, 128)-padded trailing dims) for rx_chunk x grad_shard at
+    # once: at 16 TX x 2 orders x 256 candidates an 8192-RX tile runs out
+    # of HBM, so the gradient pass streams narrower tiles.
+    grad_rx_chunk = min(rx_chunk, 2048)
+
     def grad_step(freq):
         return streamed_placement_step(
             scene,
@@ -200,7 +206,7 @@ def run_config5(
             conductivity=sigma,
             path_candidates=grad_candidates,
             candidate_chunk=grad_shard,
-            rx_chunk=rx_chunk,
+            rx_chunk=grad_rx_chunk,
             # Unit learning rates: the harness reports the raw gradient
             # (update = gradient), dodging float32 "x + tiny == x" underflow
             # in the moved-or-not check.
@@ -249,6 +255,10 @@ def run_config5(
     stride = max(1, rx_flat.shape[0] // 4096)
     rx_sub = rx_flat[::stride]
     scene_sub = tk.tree_at(lambda s: s.receivers, scene, rx_sub)
+    # The direct jax.grad comparison materializes the whole
+    # [tx, rx, cand] pipeline (plus its VJP) — stride it further so the
+    # residuals stay in HBM at 16 TX.
+    rx_direct = rx_flat[:: max(1, rx_flat.shape[0] // 1024)]
 
     sub_tx, sub_eta, _ = streamed_placement_step(
         scene_sub,
@@ -259,7 +269,7 @@ def run_config5(
         conductivity=sigma,
         path_candidates=grad_candidates,
         candidate_chunk=grad_shard,
-        rx_chunk=rx_chunk,
+        rx_chunk=grad_rx_chunk,
         tx_learning_rate=1.0,
         eta_learning_rate=1.0,
     )
@@ -284,7 +294,7 @@ def run_config5(
                 part = _coverage_tile(
                     scene_tile,
                     tx_val,
-                    jnp.asarray(rx_sub),
+                    jnp.asarray(rx_direct),
                     part_c,
                     jnp.zeros_like(part_c, dtype=jnp.int32),
                     jnp.ones((part_c.shape[0],), dtype=bool),
@@ -302,17 +312,42 @@ def run_config5(
         return -jnp.mean(10.0 * jnp.log10(jnp.maximum(power, 1e-30)))
 
     if g_norm > 0.0:
-        # (1) streamed vs direct jax.grad (TX direction + magnitude).
+        # (1) streamed vs direct jax.grad (TX direction + magnitude) on
+        # the further-strided rx_direct subsample (identical workloads on
+        # both sides).
+        scene_direct = tk.tree_at(lambda s: s.receivers, scene, rx_direct)
+        d_tx, _, _ = streamed_placement_step(
+            scene_direct,
+            2.4e9,
+            None,
+            tx=tx,
+            eta_r=eta,
+            conductivity=sigma,
+            path_candidates=grad_candidates,
+            candidate_chunk=grad_shard,
+            rx_chunk=grad_rx_chunk,
+            tx_learning_rate=1.0,
+            eta_learning_rate=1.0,
+        )
+        g_tx_streamed_d = np.asarray(jax.device_get(tx)) - np.asarray(
+            jax.device_get(d_tx)
+        )
         g_tx_direct = np.asarray(
             jax.device_get(jax.grad(direct_loss, argnums=0)(tx, eta))
         )
         cos = float(
-            (g_tx_sub * g_tx_direct).sum()
-            / (np.linalg.norm(g_tx_sub) * np.linalg.norm(g_tx_direct) + 1e-30)
+            (g_tx_streamed_d * g_tx_direct).sum()
+            / (
+                np.linalg.norm(g_tx_streamed_d)
+                * np.linalg.norm(g_tx_direct)
+                + 1e-30
+            )
         )
         fd_check["tx_cos_vs_direct"] = round(cos, 6)
         fd_check["tx_norm_ratio_vs_direct"] = round(
-            g_norm / (float(np.linalg.norm(g_tx_direct)) + 1e-30), 4
+            float(np.linalg.norm(g_tx_streamed_d))
+            / (float(np.linalg.norm(g_tx_direct)) + 1e-30),
+            4,
         )
 
         def sub_loss_f64(tx_val, eta_val):
@@ -325,7 +360,7 @@ def run_config5(
                 conductivity=sigma,
                 path_candidates=grad_candidates,
                 candidate_chunk=grad_shard,
-                rx_chunk=rx_chunk,
+                rx_chunk=grad_rx_chunk,
                 return_db_map=True,
             )
             return -np.asarray(jax.device_get(db), dtype=np.float64).mean()
