@@ -273,7 +273,7 @@ def bench_cityscale_xl() -> dict:
     # timed region (~30 s/rep), which is what the round-4 XL row actually
     # measured.
     num_cands_mega = 524288
-    num_cands_xla = 16384
+    num_cands_xla = 65536
 
     def run(megakernel, num_cands, shift):
         cands = generate_path_candidates(num_triangles, 2, size=num_cands)

@@ -112,6 +112,7 @@ def test_gradients_to_tx_position(canyon: Scene) -> None:
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_power_map_with_diffraction() -> None:
     # Occluded receiver: diffraction fills the shadow that pure reflection
     # paths leave empty.

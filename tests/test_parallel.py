@@ -93,6 +93,7 @@ def test_training_step_runs_and_descends(scene: Scene) -> None:
     assert float(loss1) <= float(loss0)
 
 
+@pytest.mark.slow
 class TestPlacementTraining:
     """TX-position gradients through the sharded pipeline (config 5)."""
 

@@ -171,6 +171,7 @@ class TestScatteringAmplitudes:
         # S=0.3 scattering from a ground patch is far below the specular.
         assert float((both - base).sum()) < 0.3 * float(base.sum())
 
+    @pytest.mark.slow
     def test_grad_wrt_scattering_coefficient(self, ground_scene: Scene) -> None:
         paths = ground_scene.trace_scattering_paths(num_samples=4)
 

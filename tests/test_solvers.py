@@ -121,6 +121,7 @@ def test_hybrid_subset_of_exhaustive(corridor_scene: Scene) -> None:
         assert (np.abs(ex_points - p).max(axis=-1) < 1e-3).any()
 
 
+@pytest.mark.slow
 def test_smoothing_confidence(corridor_scene: Scene) -> None:
     # Smoothed (differentiable) masks are float confidences in [0, 1]; their
     # purpose is differentiability: moving the receiver must change the

@@ -12,6 +12,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # optax-MLP training integration (~10 s)
+
 from differt_tpu.geometry import Mesh, Scene
 
 
