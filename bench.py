@@ -222,7 +222,9 @@ def bench_cityscale() -> dict:
 
     cands_b = generate_path_candidates(num_triangles, 2, size=256)
     scene_b = tk.tree_at(lambda s: s.receivers, scene, grid(320, 320))
-    elapsed_b = timed(scene_b, cands_b, megakernel, repeats=1)
+    # Best-of-3: this workload has the widest run-to-run spread of the
+    # matrix (36-48k px/s band through the tunnel).
+    elapsed_b = timed(scene_b, cands_b, megakernel, repeats=3)
 
     return {
         "num_triangles": int(num_triangles),

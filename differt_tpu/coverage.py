@@ -75,15 +75,15 @@ def complex_amplitudes(
     else:
         thickness = jnp.asarray(thickness)
 
-    # Invalid paths may carry zeroed (or degenerate) vertices; normalize at
-    # zero length is non-differentiable, and NaN * 0-weight is still NaN in
-    # the backward pass. Substitute a harmless straight dummy path wherever
-    # the path is invalid — its contribution is zeroed by the weight below.
-    valid = (
-        paths.mask
-        if paths.mask.dtype == jnp.bool_
-        else paths.mask >= paths.confidence_threshold
-    )
+    # Degenerate paths may carry non-finite vertices (parallel-mirror
+    # image-method infinities); normalize at zero length is
+    # non-differentiable, and NaN * 0-weight is still NaN in the backward
+    # pass. Substitute a harmless straight dummy path wherever the
+    # GEOMETRY is non-finite. The substitution keys on finiteness, NOT on
+    # the validity mask: with sigmoid-soft confidences a sub-threshold
+    # path still contributes ``confidence x amplitude`` (the whole point
+    # of the relaxation), so replacing its real — finite — geometry with
+    # the dummy would leak dummy-path fields into the coverage map.
     num_points = paths.vertices.shape[-2]
     order = paths.order
 
@@ -91,9 +91,18 @@ def complex_amplitudes(
     # leave the tiled trailing positions in a single pass, then unpack into
     # per-(point, axis) batch-shaped components.
     v_soa = jnp.moveaxis(paths.vertices, (-2, -1), (0, 1))
+    # "Usable geometry" = finite AND no zero-length segment: the trace
+    # zeroes non-finite image-method paths, so a degenerate path arrives
+    # here as identical all-zero vertices whose normalize/phase backward
+    # is NaN at zero length even under a zero cotangent (0 * inf).
+    diffs = v_soa[1:] - v_soa[:-1]
+    seg_ok = (diffs * diffs).sum(axis=1).min(axis=0) > 1e-12
+    geom_finite = jnp.isfinite(v_soa).all(axis=(0, 1)) & seg_ok
     pts = [
         [
-            jnp.where(valid, v_soa[l, axis], float(l) if axis == 0 else 0.0)
+            jnp.where(
+                geom_finite, v_soa[l, axis], float(l) if axis == 0 else 0.0
+            )
             for axis in range(3)
         ]
         for l in range(num_points)
@@ -205,6 +214,9 @@ def complex_amplitudes(
         if paths.mask.dtype != jnp.bool_
         else paths.mask.astype(a.real.dtype)
     )
+    # Non-finite geometry contributes nothing regardless of confidence
+    # (its amplitude came from the dummy substitution above).
+    weight = weight * geom_finite.astype(a.real.dtype)
     return a * weight
 
 
@@ -476,6 +488,7 @@ def _coverage_tile(
     coherent: bool,
     megakernel: bool | None,
     batch_size: int | None,
+    smoothing_factor: Float[Array, ""] | None = None,
 ) -> Complex[Array, "num_tx rx_chunk"] | Float[Array, "num_tx rx_chunk"]:
     """One (RX tile, candidate chunk) step of :func:`power_map_chunked`.
 
@@ -483,6 +496,12 @@ def _coverage_tile(
     capture the material arrays as jaxpr constants and force a full XLA
     recompile of the fused trace+EM graph on every ``power_map_chunked``
     invocation — measured at 20-120 s per compile at city scale.
+
+    With a ``smoothing_factor``, the validity checks become sigmoid-soft
+    (the fully-eucap2024 relaxation) and each path's amplitude is weighted
+    by its float confidence — gradients then flow through path EXISTENCE,
+    recovering the hard-mask validity-jump term documented in
+    docs/performance.md ("Hard-mask gradients at city scale").
     """
     from .rt._solvers import trace_path_candidates
 
@@ -496,8 +515,13 @@ def _coverage_tile(
         interaction_types=itype_chunk,
         megakernel=megakernel,
         batch_size=batch_size,
+        smoothing_factor=smoothing_factor,
     )
-    paths = tk.tree_at(lambda p: p.mask, paths, paths.mask & chunk_valid)
+    if paths.mask.dtype == jnp.bool_:
+        mask = paths.mask & chunk_valid
+    else:  # soft confidence masks: weight, don't bitwise-and
+        mask = paths.mask * chunk_valid.astype(paths.mask.dtype)
+    paths = tk.tree_at(lambda p: p.mask, paths, mask)
     a = complex_amplitudes(
         paths,
         scene,
@@ -528,6 +552,7 @@ def power_map_chunked(
     tx_pattern=None,
     megakernel: bool | None = None,
     batch_size: int | None = 512,
+    smoothing_factor: Float[ArrayLike, ""] | None = None,
 ) -> Float[Array, "*batch"]:
     """Coverage map streamed through fixed-size device buffers.
 
@@ -642,6 +667,7 @@ def power_map_chunked(
                 coherent,
                 megakernel,
                 batch_size,
+                None if smoothing_factor is None else jnp.asarray(smoothing_factor),
             )
             acc = part if acc is None else acc + part
         out_tiles.append(acc)

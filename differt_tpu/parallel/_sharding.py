@@ -266,6 +266,7 @@ def placement_training_step(
 def _tile_amplitude_parts(
     scene_tile, tx, eta_r, rx_tile, cand, itypes, valid,
     frequency, conductivity, thickness, megakernel, batch_size,
+    smoothing_factor=None,
 ):
     """(real, imag) of one (RX tile, candidate chunk) amplitude sum.
 
@@ -289,6 +290,7 @@ def _tile_amplitude_parts(
         True,
         megakernel,
         batch_size,
+        smoothing_factor,
     )
     return jnp.real(a), jnp.imag(a)
 
@@ -296,6 +298,7 @@ def _tile_amplitude_parts(
 def _streamed_tile_grad(
     scene_tile, tx, eta_r, rx_tile, cand, itypes, valid,
     frequency, conductivity, thickness, g_re, g_im, megakernel, batch_size,
+    smoothing_factor=None,
 ):
     """VJP of one tile's amplitude w.r.t. (tx, eta_r), jitted once.
 
@@ -308,6 +311,7 @@ def _streamed_tile_grad(
         return _tile_amplitude_parts(
             scene_tile, tx_, eta_, rx_tile, cand, itypes, valid,
             frequency, conductivity, thickness, megakernel, batch_size,
+            smoothing_factor,
         )
 
     _, vjp = jax.vjp(f, tx, eta_r)
@@ -428,6 +432,7 @@ def _streamed_forward(
     rx_chunk,
     megakernel,
     batch_size,
+    smoothing_factor=None,
 ):
     """Pass 1: accumulate the per-pixel coherent amplitude sum tile-wise."""
     from ..coverage import _coverage_tile
@@ -449,6 +454,7 @@ def _streamed_forward(
             True,
             megakernel,
             batch_size,
+            smoothing_factor,
         )
         row_totals[row] = part if row not in row_totals else row_totals[row] + part
     total = jnp.concatenate(
@@ -487,6 +493,7 @@ def streamed_placement_loss(
     megakernel: bool | None = None,
     batch_size: int | None = 512,
     return_db_map: bool = False,
+    smoothing_factor: Float[ArrayLike, ""] | None = None,
 ) -> Float[Array, "..."]:
     """The streamed placement LOSS at ``tx`` — no gradient pass.
 
@@ -537,6 +544,7 @@ def streamed_placement_loss(
         rx_chunk,
         megakernel,
         batch_size,
+        None if smoothing_factor is None else jnp.asarray(smoothing_factor),
     )
     if return_db_map:
         power = (jnp.real(total) ** 2 + jnp.imag(total) ** 2)
@@ -566,6 +574,7 @@ def streamed_placement_step(
     eta_learning_rate: float = 1e-2,
     megakernel: bool | None = None,
     batch_size: int | None = 512,
+    smoothing_factor: Float[ArrayLike, ""] | None = None,
 ) -> tuple[
     Float[Array, "num_tx 3"], Float[Array, " num_materials"], Float[Array, ""]
 ]:
@@ -621,6 +630,9 @@ def streamed_placement_step(
         rx_chunk,
     )
 
+    smoothing_factor = (
+        None if smoothing_factor is None else jnp.asarray(smoothing_factor)
+    )
     total = _streamed_forward(
         scene_tile,
         tiles,
@@ -633,6 +645,7 @@ def streamed_placement_step(
         rx_chunk,
         megakernel,
         batch_size,
+        smoothing_factor,
     )
 
     # Pass 2: loss + cotangent on the accumulated totals only.
@@ -665,6 +678,7 @@ def streamed_placement_step(
             g_im[:, sl],
             megakernel,
             batch_size,
+            smoothing_factor,
         )
         g_tx = g_tx + d_tx
         g_eta = g_eta + d_eta

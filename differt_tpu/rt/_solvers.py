@@ -468,11 +468,32 @@ def trace_path_candidates(
     # what keeps city-scale tracing from brute-forcing the mesh against the
     # wild segments of already-invalid image-method candidates.
     if smooth:
+        # Exclude each segment's own mirror triangles from the smoothed
+        # blockage sum. The hard path dodges self-intersections with
+        # hit_tol origin offsets, but a sigmoid in ABSOLUTE t cannot
+        # resolve a ~1e-5 offset (sigmoid(-1e-5 * alpha) ~ 0.5): with the
+        # reference's formulation (_solvers.py:664-674) every reflection
+        # counts its own mirrors as half-blockers, the clipped sum
+        # saturates, and the confidence of every valid bounce path
+        # collapses to ~0 — the relaxation is only exact for LOS there.
+        # Masking the endpoint mirrors per segment restores meaningful
+        # confidences at every order.
+        kq = 2 if mesh.assume_quads else 1
+        pc = path_candidates.reshape(num_candidates, order, kq)
+        none = jnp.full((num_candidates, 1, kq), -1, dtype=pc.dtype)
+        seg_end = jnp.concatenate((pc, none), axis=1)
+        seg_start = jnp.concatenate((none, pc), axis=1)
+        endpoint_ids = jnp.concatenate((seg_start, seg_end), axis=-1)
+        tri_ids = jnp.arange(mesh.num_triangles, dtype=pc.dtype)
+        own_mirror = (endpoint_ids[..., None] == tri_ids).any(axis=-2)
+        active_smooth = (
+            ~own_mirror if mesh.mask is None else (mesh.mask & ~own_mirror)
+        )
         blocked = ray_intersect_any_triangle(
             ray_origins,
             ray_directions,
             mesh.triangle_vertices,
-            active_triangles=mesh.mask,
+            active_triangles=active_smooth,
             epsilon=epsilon,
             hit_tol=hit_tol,
             smoothing_factor=smoothing_factor,

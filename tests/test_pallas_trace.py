@@ -129,3 +129,42 @@ def test_matches_xla_pipeline_with_quads(order: int) -> None:
         jnp.asarray(np.asarray(oracle.vertices)[valid]),
         atol=1e-4,
     )
+
+
+def test_tile_and_slot_pickers() -> None:
+    """VMEM-budget pickers stay in bounds across scales and orders."""
+    from differt_tpu.ops._pallas_trace import (
+        MAX_C_TILE,
+        MAX_TILE_T,
+        T_SUB,
+        _pick_c_tile,
+        _pick_tile_t,
+        _VMEM_BUDGET_BYTES,
+    )
+
+    # Tile size: multiple of T_SUB, bounded, covers tiny meshes exactly.
+    for n in (1, 26, 512, 2306, 14206, 112898, 500000):
+        t = _pick_tile_t(n)
+        assert t % T_SUB == 0
+        assert t <= MAX_TILE_T
+        assert t >= min(
+            -(-n // T_SUB) * T_SUB, 512
+        )  # never smaller than the mesh needs (up to the 512 floor)
+    assert _pick_tile_t(14206) == 512  # bruxelles keeps fine tiles
+    assert _pick_tile_t(112898) == 2048  # Munich-class grows them
+
+    # Slot count: fits the budget for every (order, rx-tile) combo.
+    for k in (1, 2, 3, 4):
+        for tile_r in (256, 512, 1024):
+            vert_rows = -(-3 * (k + 2) // 8) * 8
+            c = _pick_c_tile(k, tile_r, 2048, vert_rows)
+            assert c in (8, 16, 32, MAX_C_TILE)
+            used = (
+                c * vert_rows * tile_r * 4 * 2
+                + c * 8 * tile_r * 2
+                + 6 * (k + 1) * c * tile_r * 4
+                + 2 * c * tile_r
+                + (9 * 2048 * 4 + 2048 * 4) * 2
+                + 4 * tile_r * 4 * 2
+            )
+            assert c == 8 or used <= _VMEM_BUDGET_BYTES

@@ -308,3 +308,121 @@ class TestStreamedPlacement:
         )
         assert jnp.isfinite(loss)
         assert bool(jnp.any(new_tx != tx0))
+
+
+@pytest.fixture(scope="class")
+def asym_scene() -> Scene:
+    # Deliberately OFF every symmetry plane: on a symmetric box,
+    # reflection points land exactly on quad diagonals / face boundaries
+    # where the sigmoid relaxation legitimately reports confidence 0.5
+    # (sigmoid(0)), which is correct but useless for comparing against
+    # hard masks.
+    mesh = Mesh.box(length=80.0, width=30.0, height=20.0, with_top=False)
+    mesh = mesh.set_materials("Concrete")
+    scene = Scene(transmitters=jnp.array([-19.3, 1.7, 5.4]), mesh=mesh)
+    return scene.with_receivers_grid(5, 3, height=1.45)
+
+
+@pytest.mark.slow
+class TestSmoothedStreamedGradient:
+    """Sigmoid-smoothed validity through the streamed city-scale path.
+
+    With a smoothing_factor the loss is smooth in the TX position even
+    through path EXISTENCE (the hard-mask validity-jump drift documented
+    in docs/performance.md), so a central difference of the streamed loss
+    must now agree with the streamed gradient. (The own-mirror exclusion
+    in the smoothed blockage makes this possible at order >= 1 at all:
+    the reference's formulation lets every bounce count its own mirrors
+    as half-blockers and collapses the confidence to ~0.)
+    """
+
+    def test_smoothed_fd_matches_streamed_gradient(
+        self, asym_scene: Scene
+    ) -> None:
+        scene = asym_scene
+        from differt_tpu.geometry import generate_path_candidates
+        from differt_tpu.parallel import (
+            streamed_placement_loss,
+            streamed_placement_step,
+        )
+
+        n = int(scene.mesh.num_triangles)
+        cands = generate_path_candidates(n, 1)
+        tx0 = scene.transmitters.reshape(-1, 3)
+        eta = jnp.array([5.24])
+        sigma = jnp.array([0.1])
+        alpha = 50.0  # sigmoid sharpness
+
+        kw = dict(
+            eta_r=eta,
+            conductivity=sigma,
+            path_candidates=cands,
+            candidate_chunk=16,
+            rx_chunk=8,
+            smoothing_factor=alpha,
+        )
+        new_tx, _, loss = streamed_placement_step(
+            scene,
+            FREQUENCY,
+            None,
+            tx=tx0,
+            tx_learning_rate=1.0,
+            eta_learning_rate=1.0,
+            **kw,
+        )
+        g = np.asarray(tx0) - np.asarray(new_tx)
+        g_norm = float(np.linalg.norm(g))
+        assert np.isfinite(loss) and g_norm > 0.0
+
+        u = jnp.asarray(g / g_norm)
+        # Small step: the sigmoid relaxation puts curvature ~alpha^2 into
+        # the loss, so the central-difference truncation error at 2e-3
+        # was already ~6%.
+        h = 5e-4
+        lp = float(
+            streamed_placement_loss(scene, FREQUENCY, None, tx=tx0 + h * u, **kw)
+        )
+        lm = float(
+            streamed_placement_loss(scene, FREQUENCY, None, tx=tx0 - h * u, **kw)
+        )
+        fd = (lp - lm) / (2.0 * h)
+        np.testing.assert_allclose(fd, g_norm, rtol=0.05)
+
+    def test_smoothed_mask_reaches_amplitudes(
+        self, asym_scene: Scene
+    ) -> None:
+        """Soft confidences weight the amplitudes (not thresholded away)."""
+        scene = asym_scene
+        from differt_tpu.coverage import power_map_chunked
+        from differt_tpu.geometry import generate_path_candidates
+
+        n = int(scene.mesh.num_triangles)
+        cands = generate_path_candidates(n, 1)
+        hard = power_map_chunked(
+            scene,
+            FREQUENCY,
+            path_candidates=cands,
+            eta_r=jnp.array([5.24]),
+            conductivity=jnp.array([0.1]),
+            candidate_chunk=16,
+            rx_chunk=8,
+        )
+        soft = power_map_chunked(
+            scene,
+            FREQUENCY,
+            path_candidates=cands,
+            eta_r=jnp.array([5.24]),
+            conductivity=jnp.array([0.1]),
+            candidate_chunk=16,
+            rx_chunk=8,
+            smoothing_factor=2000.0,
+        )
+        assert bool(jnp.all(jnp.isfinite(soft)))
+        # Sharp sigmoid ~ hard masks on INTERIOR pixels. Pixels near the
+        # walls legitimately differ: the sigmoid blockage window lives in
+        # absolute ray-parameter t, so a receiver close to a wall reads
+        # as partially blocked — correct relaxation semantics, not noise.
+        sh = np.asarray(soft).reshape(3, 5)[1:-1, 1:-1]
+        hh = np.asarray(hard).reshape(3, 5)[1:-1, 1:-1]
+        assert sh.size > 0
+        np.testing.assert_allclose(sh, hh, rtol=0.25, atol=1e-14)
