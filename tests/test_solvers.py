@@ -133,6 +133,28 @@ def test_smoothing_confidence(corridor_scene: Scene) -> None:
     assert float(soft.mask.min()) >= 0.0
     assert float(soft.mask.max()) <= 1.0
 
+    # The range check alone once let an all-zero confidence regression
+    # through (the smoothed blockage counted each bounce's own mirrors as
+    # half-blockers). Pin the semantics on an asymmetric scene: at a
+    # sharp sigmoid, hard-valid paths must carry confidence > 0.5 and
+    # hard-invalid paths < 0.5.
+    import differt_tpu.treekit as tk
+
+    asym = tk.tree_at(
+        lambda s: (s.transmitters, s.receivers),
+        corridor_scene,
+        (jnp.array([-4.0, 0.3, 0.2]), jnp.array([4.0, -0.5, 0.1])),
+    )
+    hard = asym.trace_paths(order=1)
+    sharp = asym.trace_paths(
+        order=1, solver=ExhaustivePathTracer(smoothing_factor=500.0)
+    )
+    h = np.asarray(hard.mask).ravel()
+    c = np.asarray(sharp.mask).ravel()
+    assert h.any() and (~h).any()
+    assert np.all(c[h] > 0.5), c[h]
+    assert np.all(c[~h] < 0.5), c[~h]
+
     solver = ExhaustivePathTracer(smoothing_factor=10.0)
     candidates, types = solver.generate_path_candidates(corridor_scene, 1)
 
