@@ -40,13 +40,16 @@ def main() -> None:
     )
     num_triangles = int(scene.mesh.num_triangles)
 
+    import os
+    rx_n = int(os.environ.get("XLB_RX", "128"))
+    side = {128: (16, 8), 512: (32, 16), 1024: (32, 32)}[rx_n]
     (min_x, min_y, _), (max_x, max_y, _) = scene.mesh.bounding_box
     x, y = jnp.meshgrid(
-        jnp.linspace(min_x, max_x, 16), jnp.linspace(min_y, max_y, 8)
+        jnp.linspace(min_x, max_x, side[0]), jnp.linspace(min_y, max_y, side[1])
     )
     rx = jnp.stack((x, y, jnp.full_like(x, 1.5)), axis=-1)
     scene = tk.tree_at(lambda s: s.receivers, scene, rx)
-    num_rx = 128
+    num_rx = rx_n
 
     num_cands = 16384 if small else 65536
     cands = generate_path_candidates(num_triangles, 2, size=num_cands)
@@ -72,7 +75,7 @@ def main() -> None:
                 eta_r=eta0 + shift,
                 conductivity=jnp.array([0.12]),
                 candidate_chunk=4096,
-                rx_chunk=128,
+                rx_chunk=rx_n,
                 megakernel=True,
             )
 
